@@ -1,0 +1,95 @@
+"""Checkpointing: reference-compatible ``.npz`` plus full training state.
+
+The reference persists models as ``.npz`` holding a JSON ``config`` string
+and per-layer ``W{i}/b{i}`` arrays indexed by its interleaved
+[conv,pool,...,dense...,output] layer list (Classes/CNNModel.py:530-555,
+load at :30-60). We read/write that exact schema so reference-trained
+weights load bit-faithfully, and additionally support full training-state
+checkpoints (params + optimizer state + step) the reference lacks
+(SURVEY.md section 5, checkpoint/resume row).
+
+Layout mapping (reference -> ours):
+  conv  W{i}: (F, kh, kw, C)   <-> kernel (kh, kw, C, F)   [transpose 1,2,3,0]
+  dense W{i}: (units, prev)    <-> kernel (prev, units)    [transpose]
+  biases are shared 1-D.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cadx_tpu.models.cnn import CNNConfig, init_params
+
+
+def save_npz(params: dict, config: CNNConfig, path: str) -> None:
+    """Write a reference-schema ``.npz`` (config JSON + W{i}/b{i})."""
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    idx = config.layer_indices()
+    arrays: dict[str, np.ndarray] = {}
+    for li, layer in zip(idx["conv"], params["conv"]):
+        arrays[f"W{li}"] = np.asarray(layer["kernel"]).transpose(3, 0, 1, 2)
+        arrays[f"b{li}"] = np.asarray(layer["bias"])
+    for li, layer in zip(idx["dense"], params["dense"]):
+        arrays[f"W{li}"] = np.asarray(layer["kernel"]).T
+        arrays[f"b{li}"] = np.asarray(layer["bias"])
+    arrays[f"W{idx['output']}"] = np.asarray(params["output"]["kernel"]).T
+    arrays[f"b{idx['output']}"] = np.asarray(params["output"]["bias"])
+    np.savez(path, config=json.dumps(config.to_json_dict()), **arrays)
+
+
+def load_npz(path: str, dtype=jnp.float32) -> tuple[CNNConfig, dict]:
+    """Load a reference-schema ``.npz`` into (CNNConfig, params pytree)."""
+    data = np.load(path, allow_pickle=True)
+    config = CNNConfig.from_json_dict(json.loads(str(data["config"])))
+    idx = config.layer_indices()
+    params: dict[str, Any] = {"conv": [], "dense": []}
+    for li in idx["conv"]:
+        params["conv"].append(
+            {
+                "kernel": jnp.asarray(data[f"W{li}"], dtype).transpose(1, 2, 3, 0),
+                "bias": jnp.asarray(data[f"b{li}"], dtype),
+            }
+        )
+    for li in idx["dense"]:
+        params["dense"].append(
+            {
+                "kernel": jnp.asarray(data[f"W{li}"], dtype).T,
+                "bias": jnp.asarray(data[f"b{li}"], dtype),
+            }
+        )
+    li = idx["output"]
+    params["output"] = {
+        "kernel": jnp.asarray(data[f"W{li}"], dtype).T,
+        "bias": jnp.asarray(data[f"b{li}"], dtype),
+    }
+    return config, params
+
+
+# ---------------------------------------------------------------------------
+# Full training-state checkpoints (params + optax state + step + rng)
+# ---------------------------------------------------------------------------
+
+def save_train_state(path: str, state: Any) -> None:
+    """Persist a full training state pytree (host-side, pickle of numpy)."""
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    host_state = jax.tree_util.tree_map(np.asarray, state)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(host_state, f)
+    os.replace(tmp, path)  # atomic: a crash never leaves a torn checkpoint
+
+
+def load_train_state(path: str) -> Any:
+    with open(path, "rb") as f:
+        return pickle.load(f)

@@ -1,0 +1,30 @@
+"""Test harness config: force an 8-device virtual CPU mesh.
+
+Multi-chip TPU hardware is unavailable in CI; sharding/collective tests
+run against XLA's host-platform device emulation instead. Must run before
+jax initializes, hence env vars at conftest import time.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# The container's sitecustomize imports jax before conftest runs, so the
+# env var alone is too late — force the platform through the live config
+# (backends initialize lazily, so this still takes effect).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
