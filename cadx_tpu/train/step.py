@@ -1,0 +1,204 @@
+"""Jit-compiled training/eval steps and the epoch-loop trainer.
+
+The reference trains one sample at a time in Python (91.5h for 20 epochs
+on 245 images, training_summary_basic.json:82). Here each minibatch
+update is a single XLA program: batched forward, batch-averaged grads
+(analytically equal to the reference's accumulate-then-average), per-
+tensor clip, SGD — and the whole epoch loop only touches the host for
+shuffling and logging. Steps are pure functions of (params, batch) so
+the data-parallel wrapper in cadx_tpu.parallel can shard the batch axis
+over a mesh without changes here.
+
+Reference loop semantics mirrored (Classes/CNNModel.py:399-513):
+per-epoch shuffle, minibatch updates, lr x0.98 per epoch, best-weights
+snapshot on improved val accuracy and restore at the end. History rows
+{epoch, loss, val_acc} match training_History_advanced.json.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cadx_tpu.models import cnn
+from cadx_tpu.train import optim
+from cadx_tpu.train.metrics import accuracy
+
+
+def masked_loss_fn(params, x, y_onehot, mask, config, *, training, rng):
+    """Cross-entropy averaged over real (mask=1) samples only.
+
+    Padding the final partial batch to a static shape keeps XLA from
+    recompiling; masking reproduces the reference's average over the
+    actual sample count (Classes/CNNModel.py:459-464).
+    """
+    logits = cnn.apply(params, x, config, training=training, rng=rng)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    per_sample = -jnp.sum(y_onehot * logp, axis=-1)
+    return jnp.sum(per_sample * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "training"))
+def sgd_train_step(params, x, y_onehot, mask, lr, rng, config, training=True):
+    """One basic-pipeline update: grads -> per-tensor clip(5.0) -> SGD."""
+    loss, grads = jax.value_and_grad(masked_loss_fn)(
+        params, x, y_onehot, mask, config, training=training, rng=rng
+    )
+    params = optim.sgd_reference_update(params, grads, lr)
+    return params, loss
+
+
+def make_adam_train_step(config: cnn.CNNConfig, tx: optax.GradientTransformation):
+    """Advanced-pipeline update: Adam on softmax cross-entropy logits."""
+
+    @jax.jit
+    def step(params, opt_state, x, y_onehot, mask, rng):
+        loss, grads = jax.value_and_grad(masked_loss_fn)(
+            params, x, y_onehot, mask, config, training=True, rng=rng
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def eval_step(params, x, config):
+    """Batched predicted classes (argmax of guarded softmax)."""
+    return jnp.argmax(cnn.apply(params, x, config, training=False), axis=-1)
+
+
+def evaluate(params, X, y_labels, config, batch_size: int = 64) -> float:
+    """Test-set accuracy, batched with padding to a static shape."""
+    X = np.asarray(X, dtype=np.float32)
+    y_labels = np.asarray(y_labels)
+    n = len(X)
+    preds = predict_classes(params, X, config, batch_size)
+    return float(np.mean(preds == y_labels[:n]))
+
+
+def predict_classes(params, X, config, batch_size: int = 64) -> np.ndarray:
+    X = np.asarray(X, dtype=np.float32)
+    n = len(X)
+    out = []
+    for i in range(0, n, batch_size):
+        xb = X[i : i + batch_size]
+        pad = batch_size - len(xb)
+        if pad:
+            xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
+        p = eval_step(params, jnp.asarray(xb), config)
+        out.append(np.asarray(p)[: batch_size - pad])
+    return np.concatenate(out) if out else np.zeros((0,), np.int64)
+
+
+@dataclasses.dataclass
+class FitResult:
+    params: Any
+    history: list[dict]          # [{epoch, loss, val_acc}] reference schema
+    best_val_acc: float
+    epoch_accuracy: list[float]  # reference CNNModel.epoch_accuracy
+    train_seconds: float
+
+
+def fit(
+    params,
+    config: cnn.CNNConfig,
+    X, y_onehot, X_test, y_test_labels,
+    *,
+    epochs: int = 10,
+    lr: float = 0.01,
+    batch_size: int = 8,
+    optimizer: str = "sgd",            # "sgd" (basic) | "adam" (advanced)
+    lr_decay: float = 0.98,
+    seed: int = 0,
+    restore_best: bool = True,
+    log_fn: Callable[[str], None] | None = None,
+    checkpoint_path: str | None = None,
+    update_fn=None,                    # override: (params, opt_state, xb, yb, mb, lr, rng) -> (params, opt_state, loss)
+) -> FitResult:
+    """Train with the reference loop semantics, one XLA program per batch.
+
+    update_fn lets the data-parallel wrapper substitute a mesh-sharded
+    step without duplicating the loop.
+    """
+    X = np.asarray(X, dtype=np.float32)
+    y_onehot = np.asarray(y_onehot, dtype=np.float32)
+    n = len(X)
+    host_rng = np.random.default_rng(seed)
+    dropout_key = jax.random.key(seed)
+    log = log_fn or (lambda s: None)
+
+    tx = optim.adam(lr) if optimizer == "adam" else None
+    opt_state = tx.init(params) if tx is not None else None
+    adam_step = make_adam_train_step(config, tx) if tx is not None else None
+
+    best_acc, best_params = 0.0, None
+    history: list[dict] = []
+    epoch_accuracy: list[float] = []
+    cur_lr = lr
+    t0 = time.time()
+
+    for epoch in range(epochs):
+        perm = host_rng.permutation(n)
+        Xs, ys = X[perm], y_onehot[perm]
+        total_loss = 0.0
+        for i in range(0, n, batch_size):
+            xb, yb = Xs[i : i + batch_size], ys[i : i + batch_size]
+            nb = len(xb)
+            pad = batch_size - nb
+            if pad:
+                xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
+                yb = np.concatenate([yb, np.zeros((pad,) + yb.shape[1:], yb.dtype)])
+            mb = np.zeros((batch_size,), np.float32)
+            mb[:nb] = 1.0
+            dropout_key, sub = jax.random.split(dropout_key)
+            if update_fn is not None:
+                params, opt_state, loss = update_fn(
+                    params, opt_state, jnp.asarray(xb), jnp.asarray(yb),
+                    jnp.asarray(mb), jnp.float32(cur_lr), sub,
+                )
+            elif tx is not None:
+                params, opt_state, loss = adam_step(
+                    params, opt_state, jnp.asarray(xb), jnp.asarray(yb),
+                    jnp.asarray(mb), sub,
+                )
+            else:
+                params, loss = sgd_train_step(
+                    params, jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(mb),
+                    jnp.float32(cur_lr), sub, config,
+                )
+            total_loss += float(loss) * nb
+
+        avg_loss = total_loss / n
+        val_acc = evaluate(params, X_test, y_test_labels, config)
+        epoch_accuracy.append(val_acc)
+        history.append({"epoch": epoch + 1, "loss": avg_loss, "val_acc": val_acc})
+        log(f"[EPOCH {epoch+1}/{epochs}] Loss={avg_loss:.4f}, ValAcc={val_acc:.4f}")
+
+        if val_acc > best_acc:
+            best_acc = val_acc
+            best_params = jax.tree_util.tree_map(np.asarray, params)
+            if checkpoint_path:
+                from cadx_tpu import checkpoint as ckpt
+
+                ckpt.save_npz(params, config, checkpoint_path)
+        if optimizer == "sgd":
+            cur_lr *= lr_decay
+
+    if restore_best and best_params is not None:
+        params = jax.tree_util.tree_map(jnp.asarray, best_params)
+    return FitResult(
+        params=params,
+        history=history,
+        best_val_acc=best_acc,
+        epoch_accuracy=epoch_accuracy,
+        train_seconds=time.time() - t0,
+    )
