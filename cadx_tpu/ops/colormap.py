@@ -1,0 +1,63 @@
+"""JET colormap + overlay blending on device.
+
+The explainability paths colormap a normalized saliency/CAM to JET and
+alpha-blend it onto the input (reference explainability.py:75-77 uses
+cv2.applyColorMap(COLORMAP_JET) + cv2.addWeighted(0.5, 0.5)). Here the
+256x3 LUT is a host constant; application is a gather and the blend a
+fused elementwise op, so the whole overlay stays in one XLA program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.cache
+def jet_lut_bgr() -> np.ndarray:
+    """OpenCV COLORMAP_JET as a (256, 3) uint8 BGR table.
+
+    Computed via cv2 when available (bit-exact); otherwise the analytic
+    MATLAB-style jet OpenCV derives its table from.
+    """
+    try:
+        import cv2
+
+        lut = cv2.applyColorMap(np.arange(256, dtype=np.uint8).reshape(256, 1),
+                                cv2.COLORMAP_JET)
+        return lut.reshape(256, 3)
+    except ImportError:
+        x = np.linspace(0.0, 1.0, 256)
+
+        def interp(v):
+            return np.clip(1.5 - np.abs(4.0 * v), 0.0, 1.0)
+
+        r = interp(x - 0.75)
+        g = interp(x - 0.5)
+        b = interp(x - 0.25)
+        return (np.stack([b, g, r], axis=-1) * 255.0 + 0.5).astype(np.uint8)
+
+
+def apply_jet(gray_u8: jax.Array) -> jax.Array:
+    """(H, W) uint8 -> (H, W, 3) uint8 BGR, cv2.applyColorMap(JET)."""
+    lut = jnp.asarray(jet_lut_bgr())
+    return lut[gray_u8.astype(jnp.int32)]
+
+
+def add_weighted(a: jax.Array, alpha: float, b: jax.Array, beta: float,
+                 gamma: float = 0.0) -> jax.Array:
+    """cv2.addWeighted: saturate(round(a*alpha + b*beta + gamma)) as uint8."""
+    out = a.astype(jnp.float32) * alpha + b.astype(jnp.float32) * beta + gamma
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+
+def normalize_to_u8(x: jax.Array) -> jax.Array:
+    """Min-max normalize to [0,255] uint8 (reference saliency scaling,
+    explainability.py:73-74: (s-min)/(max-min+1e-8) then *255 truncated)."""
+    x = x.astype(jnp.float32)
+    lo, hi = x.min(), x.max()
+    s = (x - lo) / (hi - lo + 1e-8)
+    return (s * 255.0).astype(jnp.uint8)

@@ -1,0 +1,40 @@
+"""On-device histogram equalization (cv2.equalizeHist semantics).
+
+Used by pectoral-muscle removal (customImageCleaner.py:127). OpenCV's
+algorithm: 256-bin histogram, cumulative distribution excluding the
+first nonzero bin's mass, LUT = round(cdf * 255 / (N - cdf_min)), where
+cdf_min is the count at the lowest occupied intensity. Histogram via
+scatter-add, LUT application via gather — both lower cleanly to TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def histogram256(img_u8: jax.Array) -> jax.Array:
+    flat = img_u8.astype(jnp.int32).reshape(-1)
+    return jnp.zeros((256,), jnp.int32).at[flat].add(1)
+
+
+def equalize_hist(img_u8: jax.Array) -> jax.Array:
+    """Equalize a (H, W) uint8 image exactly like cv2.equalizeHist."""
+    hist = histogram256(img_u8)
+    cdf = jnp.cumsum(hist)
+    total = cdf[-1]
+    # lowest occupied intensity's cumulative count
+    nz = hist > 0
+    first_idx = jnp.argmax(nz)  # first True
+    cdf_min = cdf[first_idx]
+    denom = jnp.maximum(total - cdf_min, 1)
+    # OpenCV: lut[i] = saturate(round((cdf[i] - cdf_min) * 255 / denom))
+    lut = jnp.clip(
+        jnp.round((cdf - cdf_min).astype(jnp.float32) * 255.0 / denom.astype(jnp.float32)),
+        0,
+        255,
+    ).astype(jnp.uint8)
+    out = lut[img_u8.astype(jnp.int32)]
+    # degenerate single-intensity image: OpenCV returns it unchanged
+    single_level = (hist > 0).sum() <= 1
+    return jnp.where(single_level, img_u8, out)

@@ -1,0 +1,70 @@
+"""Binary/grayscale morphology as XLA reduce_window ops.
+
+cv2 erode/dilate with an all-ones rectangular kernel are min/max filters;
+OpenCV's default border value is +inf for erode and -inf for dilate so
+out-of-image pixels never win — reproduced here via pad values. Used by
+artifact suppression (MORPH_OPEN smoothing, customImageCleaner.py:78-80)
+and pectoral removal (erode/dilate marker prep, :135-139).
+
+All ops take 2D (H, W) arrays; vmap for batches.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _window_reduce(img: jax.Array, ksize: int, init, op) -> jax.Array:
+    pad = ksize // 2
+    lo, hi = pad, ksize - 1 - pad  # cv2 anchors odd kernels at center
+    return lax.reduce_window(
+        img,
+        init,
+        op,
+        window_dimensions=(ksize, ksize),
+        window_strides=(1, 1),
+        padding=((lo, hi), (lo, hi)),
+    )
+
+
+def erode(img: jax.Array, ksize: int = 3, iterations: int = 1) -> jax.Array:
+    """Min filter; border treated as +max (cv2 default)."""
+    dtype = img.dtype
+    x = img.astype(jnp.float32)
+    for _ in range(iterations):
+        x = _window_reduce(x, ksize, jnp.inf, lax.min)
+    return x.astype(dtype)
+
+
+def dilate(img: jax.Array, ksize: int = 3, iterations: int = 1) -> jax.Array:
+    """Max filter; border treated as -max (cv2 default)."""
+    dtype = img.dtype
+    x = img.astype(jnp.float32)
+    for _ in range(iterations):
+        x = _window_reduce(x, ksize, -jnp.inf, lax.max)
+    return x.astype(dtype)
+
+
+def opening(img: jax.Array, ksize: int, iterations: int = 1) -> jax.Array:
+    """MORPH_OPEN = erode then dilate (boundary smoothing in the cleaner)."""
+    return dilate(erode(img, ksize, iterations), ksize, iterations)
+
+
+def closing(img: jax.Array, ksize: int, iterations: int = 1) -> jax.Array:
+    return erode(dilate(img, ksize, iterations), ksize, iterations)
+
+
+def median_blur3(img: jax.Array) -> jax.Array:
+    """3x3 median filter with replicated borders (cv2.medianBlur(img, 3)).
+
+    Gathers the 9 shifted views and sorts along a new axis — a fixed-size
+    vectorized sort the VPU handles well; no data-dependent control flow.
+    """
+    dtype = img.dtype
+    x = jnp.pad(img.astype(jnp.float32), 1, mode="edge")
+    h, w = img.shape
+    views = [x[i : i + h, j : j + w] for i in range(3) for j in range(3)]
+    stack = jnp.stack(views, axis=-1)
+    return jnp.sort(stack, axis=-1)[..., 4].astype(dtype)

@@ -1,0 +1,30 @@
+"""On-device thresholding (cv2.threshold THRESH_BINARY semantics).
+
+Used by the artifact-suppression and breast-segmentation stages
+(reference customImageCleaner.py:101, :111, :130): dst = maxval where
+src > thresh else 0.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def binary_threshold(img: jax.Array, thresh, maxval=255) -> jax.Array:
+    """cv2.THRESH_BINARY: strictly-greater comparison, like OpenCV."""
+    return jnp.where(img > thresh, jnp.asarray(maxval, img.dtype), jnp.asarray(0, img.dtype))
+
+
+def relative_threshold_value(img: jax.Array, frac) -> jax.Array:
+    """int(img.max() * frac) — the reference's relative threshold rule
+    (customImageCleaner.py:96-99: thresholds <1.0 scale by the image max,
+    truncated toward zero)."""
+    return jnp.floor(img.max().astype(jnp.float32) * frac).astype(jnp.int32)
+
+
+def to_uint8(img: jax.Array) -> jax.Array:
+    """(img / img.max() * 255) as uint8 — reference 8-bit rescale
+    (customImageCleaner.py:109, app.py:101)."""
+    maxv = jnp.maximum(img.max().astype(jnp.float32), 1e-12)
+    return (img.astype(jnp.float32) / maxv * 255.0).astype(jnp.uint8)
