@@ -1,0 +1,198 @@
+"""On-device mammogram cleaning: the reference DMImagePreprocessor
+(WebApplicationPrototype/customImageCleaner.py) re-built as fused,
+jittable TPU transforms.
+
+Three stages, same contracts as the reference:
+- suppress_artifacts (customImageCleaner.py:93-105): relative threshold,
+  largest connected object with flood-fill hole adding + morphological
+  opening, mask AND.
+- segment_breast (:107-123): 8-bit rescale, threshold, largest contour
+  filled (== largest component with holes filled) + bounding rect.
+- remove_pectoral (:125-157): hist-equalize, high threshold, largest
+  object, eroded/dilated marker bands, watershed, red ridge paint,
+  breast-only mask opening.
+
+plus process() (:159-176) and the app's full single-image path
+(app.py:96-150) ending in a 512x512 grayscale ready for the U-Net
+encoder. Everything static-shape; each stage jits into one XLA program
+(irregular CPU algorithms are replaced by the scan/relaxation ops in
+cadx_tpu.ops — tolerance-tested against OpenCV).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cadx_tpu.ops.components import fill_holes, label_components, largest_component, component_areas
+from cadx_tpu.ops.histogram import equalize_hist
+from cadx_tpu.ops.morphology import dilate, erode, median_blur3, opening
+from cadx_tpu.ops.resize import resize_area
+from cadx_tpu.ops.threshold import binary_threshold, relative_threshold_value, to_uint8
+from cadx_tpu.ops.watershed import marker_watershed
+
+
+def select_largest_obj(img_bin: jax.Array, lab_val: int = 255,
+                       fill_holes_: bool = False,
+                       smooth_boundary: bool = False,
+                       kernel_size: int = 15) -> jax.Array:
+    """Largest 8-connected object, optional hole adding + open smoothing.
+
+    Reference semantics (customImageCleaner.py:60-82): holes are the
+    enclosed background regions of the WHOLE binary image (floodFill from
+    a background seed), added onto the largest-object mask.
+    """
+    fg = img_bin > 0
+    largest = largest_component(fg, connectivity=8)
+    mask = largest
+    if fill_holes_:
+        holes_full = fill_holes(fg) & ~fg
+        mask = mask | holes_full
+    out = jnp.where(mask, jnp.uint8(lab_val), jnp.uint8(0))
+    if smooth_boundary:
+        out = opening(out, kernel_size)
+    return out
+
+
+def _bounding_rect(mask: jax.Array):
+    """(x, y, w, h) of the True region — cv2.boundingRect equivalent."""
+    h, w = mask.shape
+    rows = mask.any(axis=1)
+    cols = mask.any(axis=0)
+    y0 = jnp.argmax(rows)
+    y1 = h - jnp.argmax(rows[::-1])
+    x0 = jnp.argmax(cols)
+    x1 = w - jnp.argmax(cols[::-1])
+    any_ = mask.any()
+    return (
+        jnp.where(any_, x0, 0),
+        jnp.where(any_, y0, 0),
+        jnp.where(any_, x1 - x0, 0),
+        jnp.where(any_, y1 - y0, 0),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_size",))
+def suppress_artifacts(img: jax.Array, global_threshold: float = 0.05,
+                       kernel_size: int = 15):
+    """Stage 1: keep the breast (largest bright object), zero the rest.
+
+    img: (H, W) uint8. Returns (img_suppressed, breast_mask_u8).
+    """
+    low_th = relative_threshold_value(img, global_threshold)
+    img_bin = binary_threshold(img, low_th, 255)
+    breast_mask = select_largest_obj(img_bin, 255, fill_holes_=True,
+                                     smooth_boundary=True,
+                                     kernel_size=kernel_size)
+    img_suppr = img & breast_mask  # bitwise AND like cv2.bitwise_and
+    return img_suppr, breast_mask
+
+
+@jax.jit
+def segment_breast_mask(img: jax.Array, low_int_threshold: float = 0.05):
+    """Stage 2 (crop=False form, as the app calls it, app.py:117-121).
+
+    Returns (img_breast_only, (x, y, w, h)). Largest contour filled ==
+    largest component with its holes filled.
+    """
+    img_8u = to_uint8(img)
+    low_th = relative_threshold_value(img_8u, low_int_threshold)
+    img_bin = binary_threshold(img_8u, low_th, 255)
+    largest = largest_component(img_bin > 0, connectivity=8)
+    # drawContours(-1 fill) paints everything inside the outer contour
+    contour_fill = fill_holes(largest)
+    img_breast_only = jnp.where(contour_fill, img, jnp.asarray(0, img.dtype))
+    return img_breast_only, _bounding_rect(contour_fill)
+
+
+class PectoralResult(NamedTuple):
+    img_breast_only: jax.Array   # equalized image masked to breast tissue
+    img_equ: jax.Array           # equalized grayscale
+    boundary: jax.Array          # watershed ridge (cv2's -1 pixels)
+    breast_only_mask: jax.Array  # uint8 mask after opening
+
+
+@functools.partial(jax.jit, static_argnames=("morph_kn_size", "n_morph_op", "sm_kn_size"))
+def remove_pectoral(img: jax.Array, breast_mask: jax.Array,
+                    high_int_threshold: float = 0.8,
+                    morph_kn_size: int = 3, n_morph_op: int = 7,
+                    sm_kn_size: int = 25) -> PectoralResult:
+    """Stage 3: split pectoral muscle from breast tissue via watershed.
+
+    Marker layout mirrors the reference exactly (customImageCleaner.py:
+    132-141): 255 = eroded pectoral core, 128 = outside the dilated
+    pectoral (breast), 64 = outside the breast mask, 0 = the uncertain
+    band the watershed resolves.
+    """
+    img_equ = equalize_hist(img)
+    high_th = relative_threshold_value(img, high_int_threshold)
+    img_bin = binary_threshold(img_equ, high_th, 255)
+    pect_mask_init = select_largest_obj(img_bin, 255, fill_holes_=True,
+                                        smooth_boundary=False)
+    pect_eroded = erode(pect_mask_init, morph_kn_size, n_morph_op)
+    pect_dilated = dilate(pect_mask_init, morph_kn_size, n_morph_op)
+
+    markers = jnp.zeros(img.shape, jnp.int32)
+    markers = jnp.where(pect_eroded > 0, 255, markers)
+    markers = jnp.where(pect_dilated == 0, 128, markers)
+    markers = jnp.where(breast_mask == 0, 64, markers)
+
+    labels, boundary = marker_watershed(img_equ, markers)
+
+    breast_only = jnp.where(boundary, 0, labels)
+    breast_only_mask = jnp.where(breast_only == 128, jnp.uint8(255), jnp.uint8(0))
+    breast_only_mask = opening(breast_only_mask, sm_kn_size)
+    img_breast_only = img_equ & breast_only_mask
+    return PectoralResult(img_breast_only, img_equ, boundary, breast_only_mask)
+
+
+def process(img: jax.Array, median_filtering: bool = True,
+            artif_suppression: bool = True, low_int_threshold: float = 0.05,
+            kernel_size: int = 15, pect_removal: bool = False,
+            high_int_threshold: float = 0.8, **pect_kwargs):
+    """Reference `DMImagePreprocessor.process` orchestration (:159-176)."""
+    img_proc = img
+    if median_filtering:
+        img_proc = median_blur3(img_proc)
+    img_proc_s, mask_ = suppress_artifacts(
+        img_proc, global_threshold=low_int_threshold, kernel_size=kernel_size
+    )
+    if artif_suppression:
+        img_proc = img_proc_s
+    if pect_removal:
+        res = remove_pectoral(img_proc, mask_,
+                              high_int_threshold=high_int_threshold,
+                              **pect_kwargs)
+        return img_proc if not artif_suppression else res.img_breast_only, res
+    return img_proc, None
+
+
+def boundary_image_gray(res: PectoralResult) -> jax.Array:
+    """The app's `img_with_boundary` -> grayscale step (app.py:136-141).
+
+    The reference paints the ridge red on the BGR equalized image then
+    converts BGR->GRAY; red contributes weight 0.299.
+    """
+    g = res.img_equ.astype(jnp.float32)
+    return jnp.where(res.boundary, 0.299 * 255.0, g)
+
+
+@jax.jit
+def clean_for_unet(img: jax.Array) -> jax.Array:
+    """Full app preprocessing path (app.py:96-144), one XLA program:
+
+    uint8 rescale -> suppress_artifacts -> segment_breast(crop=False) ->
+    remove_pectoral -> 512x512 INTER_AREA resize -> grayscale in [0,1]
+    ready for the U-Net encoder.
+    """
+    raw8 = to_uint8(img)
+    img_suppr, breast_mask = suppress_artifacts(raw8, 0.05, 15)
+    img_breast_only, _ = segment_breast_mask(img_suppr, 0.05)
+    res = remove_pectoral(img_breast_only.astype(jnp.uint8), breast_mask,
+                          0.8, 3, 7, 25)
+    gray = boundary_image_gray(res)
+    resized = resize_area(gray, (512, 512))
+    return resized / 255.0
