@@ -1,0 +1,118 @@
+"""Grad-CAM via jax.vjp on a split forward — no framework hooks.
+
+The reference (WebApplicationPrototype/GRADCAM.py) hooks pytorch-grad-cam
+into a pretrained ResNet50's layer4. TPU-native formulation: split the
+classifier into features = conv_stack(x) and score = head(features),
+get d(score_class)/d(features) with one vjp, then
+
+    cam = relu( sum_k GAP(dscore/dA_k) * A_k )        (Grad-CAM)
+
+normalized to [0,1], upsampled to the display size, and composed exactly
+like pytorch-grad-cam's show_cam_on_image: overlay = (jet(cam)/255 +
+img_float)/max * 255. The whole activation x gradient -> upsample ->
+colormap -> blend tail is one fused XLA program.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cadx_tpu.models import cnn
+from cadx_tpu.ops.colormap import apply_jet
+from cadx_tpu.ops.conv import conv2d, leaky_relu
+from cadx_tpu.ops.pool import max_pool_ties
+from cadx_tpu.ops.resize import resize_linear
+
+
+def conv_features(params, x: jax.Array, config: cnn.CNNConfig) -> jax.Array:
+    """Activations of the LAST conv block, post-pool (B, h, w, F)."""
+    alpha = config.leaky_alpha
+    padding = config.conv_padding if config.conv_padding == "VALID" else 1
+    out = x
+    for layer in params["conv"]:
+        out = leaky_relu(conv2d(out, layer["kernel"], layer["bias"], padding=padding), alpha)
+        out = max_pool_ties(out, 2)
+    return out
+
+
+def head_logits(params, feats: jax.Array, config: cnn.CNNConfig) -> jax.Array:
+    alpha = config.leaky_alpha
+    out = feats.reshape(feats.shape[0], -1)
+    for layer in params["dense"]:
+        out = leaky_relu(out @ layer["kernel"] + layer["bias"], alpha)
+    return out @ params["output"]["kernel"] + params["output"]["bias"]
+
+
+@functools.partial(jax.jit, static_argnames=("config", "class_idx"))
+def gradcam_map(params, x: jax.Array, class_idx: int,
+                config: cnn.CNNConfig) -> jax.Array:
+    """Normalized [0,1] CAM at feature resolution for one sample (H,W,C)."""
+    acts = conv_features(params, x[None], config)
+    _, vjp_fn = jax.vjp(lambda f: head_logits(params, f, config), acts)
+    # d(score_class)/d(activations)
+    seed = jnp.zeros((1, config.num_classes)).at[0, class_idx].set(1.0)
+    (grads,) = vjp_fn(seed)
+    weights = grads.mean(axis=(1, 2), keepdims=True)      # GAP over spatial
+    cam = jax.nn.relu((weights * acts).sum(axis=-1))[0]   # (h, w)
+    lo, hi = cam.min(), cam.max()
+    return (cam - lo) / (hi - lo + 1e-7)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "class_idx", "out_hw"))
+def gradcam_overlay(params, x: jax.Array, display_img_u8: jax.Array,
+                    class_idx: int, config: cnn.CNNConfig,
+                    out_hw: tuple[int, int]):
+    """Fused CAM -> upsample -> jet -> show_cam_on_image blend.
+
+    Returns (overlay_u8 RGB, heatmap_u8 grayscale) like the reference's
+    (show_cam_on_image output, grayscale_cam*255) pair (GRADCAM.py:63-70).
+    """
+    cam = gradcam_map(params, x, class_idx, config)
+    cam_big = jnp.clip(resize_linear(cam, out_hw), 0.0, 1.0)
+    heatmap_u8 = (cam_big * 255).astype(jnp.uint8)
+
+    # show_cam_on_image: jet(uint8 cam) BGR -> RGB floats + img, renorm
+    jet_bgr = apply_jet(heatmap_u8).astype(jnp.float32) / 255.0
+    jet_rgb = jet_bgr[..., ::-1]
+    if display_img_u8.ndim == 2:
+        img_rgb = jnp.stack([display_img_u8] * 3, axis=-1)
+    else:
+        img_rgb = display_img_u8
+    img_f = img_rgb.astype(jnp.float32) / 255.0
+    cam_img = jet_rgb + img_f
+    cam_img = cam_img / jnp.maximum(cam_img.max(), 1e-7)
+    overlay_rgb = (cam_img * 255).astype(jnp.uint8)
+    return overlay_rgb, heatmap_u8
+
+
+def generate_dual_class_gradcam_overlays(params, config: cnn.CNNConfig,
+                                         features, display_img,
+                                         classes_to_test=(0, 1),
+                                         save_folder: str = "explainability") -> dict:
+    """Reference entrypoint + filenames (GRADCAM.py:31-81): writes
+    gradcam_overlay_class_{i}.png (BGR on disk, like cv2.imwrite of the
+    RGB->BGR converted overlay) and gradcam_heatmap_class_{i}.png."""
+    os.makedirs(save_folder, exist_ok=True)
+    img = np.asarray(display_img)
+    if img.dtype != np.uint8:
+        img = np.clip(img, 0, 255).astype(np.uint8)
+    out_hw = img.shape[:2]
+    overlays = {}
+    for class_idx in classes_to_test:
+        ov_rgb, hm = gradcam_overlay(
+            params, jnp.asarray(features, jnp.float32), jnp.asarray(img),
+            int(class_idx), config, out_hw,
+        )
+        ov_rgb, hm = np.asarray(ov_rgb), np.asarray(hm)
+        import cv2
+
+        cv2.imwrite(os.path.join(save_folder, f"gradcam_overlay_class_{class_idx}.png"),
+                    cv2.cvtColor(ov_rgb, cv2.COLOR_RGB2BGR))
+        cv2.imwrite(os.path.join(save_folder, f"gradcam_heatmap_class_{class_idx}.png"), hm)
+        overlays[class_idx] = (ov_rgb, hm)
+    return overlays
