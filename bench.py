@@ -1,0 +1,85 @@
+"""Headline benchmark: fused preproc+segment+classify+Grad-CAM pipeline.
+
+Measures end-to-end images/sec/chip at 256x256 on the real TPU (the
+BASELINE.json metric; reference publishes no throughput, so vs_baseline
+is against the 1000 img/s/chip target). Prints ONE JSON line.
+
+Timing methodology: inputs pre-placed on device; every iteration fetches
+a scalar checksum to the host, forcing full execution (plain
+block_until_ready under-reports on the tunneled runtime).
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def synthetic_mammograms(batch: int, hw: int, seed: int = 0) -> np.ndarray:
+    """Textured breast + bright pectoral wedge + artifacts, uint8."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:hw, 0:hw]
+    out = np.zeros((batch, hw, hw), np.uint8)
+    for i in range(batch):
+        cx = hw - 1
+        r = hw // 2
+        breast = ((xx - cx) ** 2 + (yy - hw // 2) ** 2) < r * r
+        tissue = (110 + rng.normal(0, 25, (hw, hw))).clip(40, 185).astype(np.uint8)
+        img = np.zeros((hw, hw), np.uint8)
+        img[breast] = tissue[breast]
+        wedge = ((hw - 1 - xx) + yy) < hw // 4
+        img[wedge] = np.maximum(img[wedge], 230)
+        ay, ax_ = rng.integers(0, hw // 2), rng.integers(0, hw // 4)
+        img[ay : ay + 6, ax_ : ax_ + 6] = 255
+        out[i] = img
+    return out
+
+
+def main():
+    from cadx_tpu.models import cnn
+    from cadx_tpu.pipeline import fused
+
+    hw = 256
+    batch = 128
+    config = fused.PipelineConfig(
+        image_hw=(hw, hw),
+        feature_hw=(32, 32),
+        classifier=cnn.CNNConfig(
+            input_shape=(32, 32, 64),
+            num_classes=2,
+            conv_layers=((128, 3), (64, 3)),
+            hidden_units=(256, 128),
+            dropout_rate=0.3,
+        ),
+    )
+    params = fused.init_pipeline_params(jax.random.key(0), config)
+    host_batch = synthetic_mammograms(batch, hw)
+    x = jax.device_put(jnp.asarray(host_batch))
+
+    # compile + warmup
+    float(fused.run_pipeline_checksum(params, x, config))
+
+    iters = 10
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(fused.run_pipeline_checksum(params, x, config))
+        times.append(time.perf_counter() - t0)
+
+    p50 = float(np.median(times))
+    imgs_per_sec = batch / p50
+    target = 1000.0
+    print(json.dumps({
+        "metric": "images/sec/chip end-to-end (preproc+seg+classify+Grad-CAM) at 256x256",
+        "value": round(imgs_per_sec, 1),
+        "unit": "img/s",
+        "vs_baseline": round(imgs_per_sec / target, 3),
+        "p50_latency_ms_batch128": round(p50 * 1000, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

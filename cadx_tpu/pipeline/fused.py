@@ -1,0 +1,152 @@
+"""The fused end-to-end CADx pipeline: one jit program per batch.
+
+Reference flow (app.py /upload-single + /classify): raw mammogram ->
+DMImagePreprocessor cleaning -> U-Net encoder first-layer features ->
+bottleneck resize (32,32) -> CNN classify -> Grad-CAM overlays per class.
+In the reference this spans OpenCV, two torch models, matplotlib threads
+and disk roundtrips; here the entire path is a single batched XLA program
+on TPU (the BASELINE.json north-star artifact, benchmarked by bench.py at
+256x256).
+
+Stages (all on device):
+1. clean: uint8 rescale -> artifact suppression -> breast segmentation ->
+   pectoral removal (watershed) -> boundary-gray display image, [0,1].
+2. segment: resnet-style conv1 (7x7/2, 64ch) -> (H/2, W/2, 64) features
+   (the app's "segmentation masks", app.py:148).
+3. classify: bilinear feature resize to the classifier's input (the app's
+   process_bottleneck_features, app.py:466-489) -> CNN -> guarded softmax.
+4. explain: Grad-CAM per requested class -> upsample -> JET -> blend onto
+   the cleaned display image.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cadx_tpu.models import cnn, unet
+from cadx_tpu.ops.colormap import apply_jet
+from cadx_tpu.ops.resize import resize_linear
+from cadx_tpu.preprocess import cleaner
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    image_hw: tuple[int, int] = (256, 256)
+    feature_hw: tuple[int, int] = (32, 32)      # classifier spatial input
+    classes_to_explain: tuple[int, ...] = (0, 1)
+    classifier: cnn.CNNConfig = dataclasses.field(
+        default_factory=lambda: cnn.CNNConfig(
+            input_shape=(32, 32, 64),
+            num_classes=2,
+            conv_layers=((128, 3), (64, 3)),
+            hidden_units=(256, 128),
+            dropout_rate=0.3,
+        )
+    )
+
+
+class PipelineParams(NamedTuple):
+    encoder: dict   # resnet-style encoder (conv1 used for features)
+    classifier: dict
+
+
+def init_pipeline_params(rng: jax.Array, config: PipelineConfig) -> PipelineParams:
+    k1, k2 = jax.random.split(rng)
+    return PipelineParams(
+        encoder=unet.init_resnet_encoder(k1),
+        classifier=cnn.init_params(k2, config.classifier),
+    )
+
+
+class PipelineOutput(NamedTuple):
+    probs: jax.Array          # (B, num_classes)
+    predicted: jax.Array      # (B,) argmax class
+    clean_u8: jax.Array       # (B, H, W) cleaned display image
+    features: jax.Array       # (B, fh, fw, 64) classifier inputs
+    overlays: jax.Array       # (B, n_classes_explained, H, W, 3) uint8 RGB
+    heatmaps: jax.Array       # (B, n_classes_explained, H, W) uint8
+
+
+def _clean_one(img_u8: jax.Array) -> jax.Array:
+    """Cleaner chain at native resolution -> [0,1] float display image."""
+    raw8 = cleaner_to_uint8(img_u8)
+    img_suppr, breast_mask = cleaner.suppress_artifacts(raw8, 0.05, 15)
+    img_breast_only, _ = cleaner.segment_breast_mask(img_suppr, 0.05)
+    res = cleaner.remove_pectoral(img_breast_only.astype(jnp.uint8), breast_mask,
+                                  0.8, 3, 7, 25)
+    return cleaner.boundary_image_gray(res) / 255.0
+
+
+def cleaner_to_uint8(img):
+    from cadx_tpu.ops.threshold import to_uint8
+
+    return to_uint8(img)
+
+
+def _gradcam_tail(params_cls, feats_small, clean01, class_idx, config: PipelineConfig):
+    """Batched CAM -> upsample -> jet -> show_cam_on_image blend."""
+    from cadx_tpu.xai.gradcam import conv_features, head_logits
+
+    acts = conv_features(params_cls, feats_small, config.classifier)
+    _, vjp_fn = jax.vjp(lambda f: head_logits(params_cls, f, config.classifier), acts)
+    b = feats_small.shape[0]
+    seed = jnp.zeros((b, config.classifier.num_classes)).at[:, class_idx].set(1.0)
+    (grads,) = vjp_fn(seed)
+    weights = grads.mean(axis=(1, 2), keepdims=True)
+    cam = jax.nn.relu((weights * acts).sum(axis=-1))          # (B, h, w)
+    lo = cam.min(axis=(1, 2), keepdims=True)
+    hi = cam.max(axis=(1, 2), keepdims=True)
+    cam = (cam - lo) / (hi - lo + 1e-7)
+
+    cam_big = jax.vmap(lambda c: resize_linear(c, config.image_hw))(cam)
+    heat_u8 = (jnp.clip(cam_big, 0.0, 1.0) * 255).astype(jnp.uint8)
+    jet_rgb = (apply_jet(heat_u8).astype(jnp.float32) / 255.0)[..., ::-1]
+    img_rgb = jnp.repeat(clean01[..., None], 3, axis=-1)
+    over = jet_rgb + img_rgb
+    over = over / jnp.maximum(over.max(axis=(1, 2, 3), keepdims=True), 1e-7)
+    return (over * 255).astype(jnp.uint8), heat_u8
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def run_pipeline(params: PipelineParams, batch_u8: jax.Array,
+                 config: PipelineConfig) -> PipelineOutput:
+    """batch_u8: (B, H, W) uint8/uint16 raw mammograms at config.image_hw."""
+    clean01 = jax.vmap(_clean_one)(batch_u8)                  # (B, H, W)
+    feats = unet.encoder_first_features(params.encoder, clean01[..., None])
+    feats_small = jax.vmap(lambda f: resize_linear(f, config.feature_hw))(feats)
+    probs = cnn.forward(params.classifier, feats_small, config.classifier)
+    predicted = jnp.argmax(probs, axis=-1)
+
+    overlays, heatmaps = [], []
+    for class_idx in config.classes_to_explain:
+        ov, hm = _gradcam_tail(params.classifier, feats_small, clean01,
+                               class_idx, config)
+        overlays.append(ov)
+        heatmaps.append(hm)
+
+    return PipelineOutput(
+        probs=probs,
+        predicted=predicted,
+        clean_u8=(clean01 * 255).astype(jnp.uint8),
+        features=feats_small,
+        overlays=jnp.stack(overlays, axis=1),
+        heatmaps=jnp.stack(heatmaps, axis=1),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def run_pipeline_checksum(params: PipelineParams, batch_u8: jax.Array,
+                          config: PipelineConfig) -> jax.Array:
+    """Scalar digest of the full pipeline — benchmarking helper that
+    forces end-to-end execution with minimal device->host traffic."""
+    out = run_pipeline(params, batch_u8, config)
+    return (
+        out.probs.sum()
+        + out.overlays.astype(jnp.float32).sum() / 1e6
+        + out.features.sum() / 1e3
+    )
