@@ -62,15 +62,25 @@ def main():
     # compile + warmup
     float(fused.run_pipeline_checksum(params, x, config))
 
-    iters = 10
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        float(fused.run_pipeline_checksum(params, x, config))
-        times.append(time.perf_counter() - t0)
+    # Throughput: enqueue all iterations async (device executes them
+    # back-to-back), sync once at the end. Per-iteration host syncs would
+    # add the tunnel's ~25ms dispatch round-trip to every batch.
+    iters = 20
+    t0 = time.perf_counter()
+    outs = [fused.run_pipeline_checksum(params, x, config) for _ in range(iters)]
+    total = sum(float(o) for o in outs)
+    assert np.isfinite(total)
+    elapsed = time.perf_counter() - t0
+    per_batch = elapsed / iters
 
-    p50 = float(np.median(times))
-    imgs_per_sec = batch / p50
+    # p50 single-batch latency (incl. one host round-trip)
+    lat = []
+    for _ in range(5):
+        t1 = time.perf_counter()
+        float(fused.run_pipeline_checksum(params, x, config))
+        lat.append(time.perf_counter() - t1)
+    p50 = float(np.median(lat))
+    imgs_per_sec = batch / per_batch
     target = 1000.0
     print(json.dumps({
         "metric": "images/sec/chip end-to-end (preproc+seg+classify+Grad-CAM) at 256x256",
@@ -78,6 +88,7 @@ def main():
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec / target, 3),
         "p50_latency_ms_batch128": round(p50 * 1000, 2),
+        "batch": batch,
     }))
 
 

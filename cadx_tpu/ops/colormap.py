@@ -42,9 +42,13 @@ def jet_lut_bgr() -> np.ndarray:
 
 
 def apply_jet(gray_u8: jax.Array) -> jax.Array:
-    """(H, W) uint8 -> (H, W, 3) uint8 BGR, cv2.applyColorMap(JET)."""
-    lut = jnp.asarray(jet_lut_bgr())
-    return lut[gray_u8.astype(jnp.int32)]
+    """(H, W) uint8 -> (H, W, 3) uint8 BGR, cv2.applyColorMap(JET).
+
+    One-hot matmul instead of a table gather (MXU beats TPU gathers from
+    small tables by ~10x)."""
+    lut = jnp.asarray(jet_lut_bgr(), jnp.float32)  # (256, 3)
+    oh = jax.nn.one_hot(gray_u8.astype(jnp.int32), 256, dtype=jnp.float32)
+    return jnp.round(oh @ lut).astype(jnp.uint8)
 
 
 def add_weighted(a: jax.Array, alpha: float, b: jax.Array, beta: float,

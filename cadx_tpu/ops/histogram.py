@@ -37,7 +37,15 @@ def equalize_hist(img_u8: jax.Array) -> jax.Array:
         0,
         255,
     ).astype(jnp.uint8)
-    out = lut[img_u8.astype(jnp.int32)]
+    out = apply_lut256(img_u8, lut)
     # degenerate single-intensity image: OpenCV returns it unchanged
     single_level = (hist > 0).sum() <= 1
     return jnp.where(single_level, img_u8, out)
+
+
+def apply_lut256(img_u8: jax.Array, lut: jax.Array) -> jax.Array:
+    """LUT application as a one-hot matmul (MXU) — TPU gathers from small
+    tables are ~10x slower than the equivalent one-hot dot."""
+    oh = jax.nn.one_hot(img_u8.astype(jnp.int32), 256, dtype=jnp.float32)
+    vals = oh @ lut.astype(jnp.float32)
+    return jnp.round(vals).astype(lut.dtype)

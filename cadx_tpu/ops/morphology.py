@@ -17,15 +17,15 @@ from jax import lax
 
 
 def _window_reduce(img: jax.Array, ksize: int, init, op) -> jax.Array:
+    # rectangular min/max filters are separable: k x 1 then 1 x k costs
+    # 2k taps instead of k^2
     pad = ksize // 2
     lo, hi = pad, ksize - 1 - pad  # cv2 anchors odd kernels at center
+    out = lax.reduce_window(
+        img, init, op, (ksize, 1), (1, 1), ((lo, hi), (0, 0))
+    )
     return lax.reduce_window(
-        img,
-        init,
-        op,
-        window_dimensions=(ksize, ksize),
-        window_strides=(1, 1),
-        padding=((lo, hi), (lo, hi)),
+        out, init, op, (1, ksize), (1, 1), ((0, 0), (lo, hi))
     )
 
 

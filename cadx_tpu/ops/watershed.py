@@ -6,7 +6,12 @@ unjittable as-is. The TPU-native equivalent: each marker floods outward
 along minimum-geodesic-cost paths where the edge cost is the intensity
 difference (the same quantity that stalls OpenCV's flooding at ridges).
 Bellman-Ford-style relaxation over the 4-neighborhood runs as pure
-elementwise VPU work inside a lax.while_loop until a fixed point.
+elementwise VPU work inside a lax.while_loop.
+
+Performance notes: neighbor access is pad+slice (no roll/scatter), the
+per-direction edge costs are hoisted out of the loop, and the loop exits
+once labels have been stable for several consecutive iterations
+(distances keep refining long after the assignment stops changing).
 
 The contract is tolerance-tested (mask IoU vs cv2.watershed) rather than
 bitwise: ridge ties may resolve differently, but basin assignments agree.
@@ -19,27 +24,25 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax import lax
+import numpy as np
 
-_BIG = jnp.float32(3.4e38)
+_BIG = np.float32(1e30)
+
+# (dy, dx) 4-neighborhood
+_SHIFTS = ((1, 0), (-1, 0), (0, 1), (0, -1))
 
 
 def _shift(x: jax.Array, dy: int, dx: int, fill) -> jax.Array:
-    """Shift a 2D array, filling vacated cells."""
-    out = jnp.roll(x, (dy, dx), axis=(0, 1))
-    if dy == 1:
-        out = out.at[0, :].set(fill)
-    elif dy == -1:
-        out = out.at[-1, :].set(fill)
-    if dx == 1:
-        out = out.at[:, 0].set(fill)
-    elif dx == -1:
-        out = out.at[:, -1].set(fill)
-    return out
+    """Shift a 2D array via pad+slice, filling vacated cells."""
+    h, w = x.shape
+    pad = ((max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0)))
+    xp = jnp.pad(x, pad, constant_values=fill)
+    return xp[max(-dy, 0) : max(-dy, 0) + h, max(-dx, 0) : max(-dx, 0) + w]
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
+@functools.partial(jax.jit, static_argnames=("max_iters", "stable_iters"))
 def marker_watershed(image: jax.Array, markers: jax.Array,
-                     max_iters: int = 1024):
+                     max_iters: int = 1024, stable_iters: int = 4):
     """Flood `markers` (>0 labels; 0 = unlabeled) over `image`.
 
     Returns (labels, boundary) where boundary marks pixels adjacent to a
@@ -49,32 +52,35 @@ def marker_watershed(image: jax.Array, markers: jax.Array,
     labels0 = markers.astype(jnp.int32)
     dist0 = jnp.where(labels0 > 0, 0.0, _BIG)
 
-    shifts = ((1, 0), (-1, 0), (0, 1), (0, -1))
+    # edge costs are loop-invariant: |img[p] - img[q]| per direction
+    costs = tuple(
+        jnp.abs(img - _shift(img, dy, dx, 0.0)) + 1e-3 for dy, dx in _SHIFTS
+    )
 
     def body(state):
-        labels, dist, _, it = state
+        labels, dist, stable, it = state
         best_d, best_l = dist, labels
-        for dy, dx in shifts:
+        for (dy, dx), cost in zip(_SHIFTS, costs):
             nd = _shift(dist, dy, dx, _BIG)
             nl = _shift(labels, dy, dx, 0)
-            nimg = _shift(img, dy, dx, 0.0)
-            cand = nd + jnp.abs(img - nimg) + 1e-3
+            cand = nd + cost
             take = (cand < best_d) & (nl > 0)
             best_d = jnp.where(take, cand, best_d)
             best_l = jnp.where(take, nl, best_l)
-        changed = jnp.any(best_l != labels) | jnp.any(best_d != dist)
-        return best_l, best_d, changed, it + 1
+        changed = jnp.any(best_l != labels)
+        stable = jnp.where(changed, 0, stable + 1)
+        return best_l, best_d, stable, it + 1
 
     def cond(state):
-        _, _, changed, it = state
-        return changed & (it < max_iters)
+        _, _, stable, it = state
+        return (stable < stable_iters) & (it < max_iters)
 
     labels, dist, _, _ = lax.while_loop(
-        cond, body, (labels0, dist0, jnp.bool_(True), 0)
+        cond, body, (labels0, dist0, jnp.int32(0), 0)
     )
 
     boundary = jnp.zeros(labels.shape, bool)
-    for dy, dx in shifts:
+    for dy, dx in _SHIFTS:
         nl = _shift(labels, dy, dx, 0)
         boundary |= (nl > 0) & (labels > 0) & (nl != labels)
     return labels, boundary
