@@ -39,6 +39,24 @@ class CNNConfig:
     leaky_alpha: float = 0.01
     conv_padding: str = "VALID"  # "VALID" = basic model; 1-pad SAME-ish = advanced
 
+    def __post_init__(self):
+        h, w, _ = self.input_shape
+        for i, (f, k) in enumerate(self.conv_layers):
+            if self.conv_padding == "VALID":
+                h, w = h - k + 1, w - k + 1
+            if h < 1 or w < 1:
+                raise ValueError(
+                    f"conv layer {i} ({f} filters, k={k}) reduces the spatial "
+                    f"size to {h}x{w}; input {self.input_shape} is too small "
+                    f"for conv_layers={self.conv_layers}"
+                )
+            h, w = h // 2, w // 2
+            if h < 1 or w < 1:
+                raise ValueError(
+                    f"pool after conv layer {i} reduces the spatial size to "
+                    f"{h}x{w}; input {self.input_shape} is too small"
+                )
+
     def to_json_dict(self) -> dict[str, Any]:
         # Key names/order match the reference save_model config
         # (Classes/CNNModel.py:535-541 + leaky_alpha as in load_weights :45).
