@@ -1,0 +1,418 @@
+"""HTTP serving layer: the reference web app's 12 routes on stdlib http.
+
+Route parity with WebApplicationPrototype/app.py (flask is not in this
+image; handlers return JSON + minimal HTML, same paths/verbs/redirects):
+
+  GET  /                       landing (pipeline cards)
+  GET  /home?pipeline=...      select pipeline (per-session, NOT a global
+                               — fixes the reference's cross-request race
+                               on pipeline_global, app.py:39/:351)
+  POST /upload-single          ingest + preprocess + segment + case row
+  POST /upload-bulk            zip of images into the bulk folder
+  GET  /bulk-select-parameters list bulk images
+  POST /upload-bulk-image      route one bulk image through upload-single
+  GET  /diagnosis              case table from prediction_data.csv
+  GET  /view/<patient_id>      raw image details
+  GET  /view_segmentation      mask gallery (waits on the tracked mask job
+                               instead of racing it, app.py:274 vs :429)
+  GET  /classify               run classifier + async Grad-CAM artifacts
+  GET  /roi                    per-class overlays + probabilities
+  GET  /sample                 static sample page
+
+Pipeline selection travels via the `cadx-pipeline` cookie or a
+?pipeline= query param on /classify and /roi.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import threading
+import urllib.parse
+import zipfile
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from cadx_tpu.serve.engine import CLASS_MAP, InferenceEngine
+from cadx_tpu.serve.store import Workspace
+
+ALLOWED_EXTENSIONS = {"png", "jpg", "jpeg", "gif"}
+
+
+def allowed_file(filename: str) -> bool:
+    return "." in filename and filename.rsplit(".", 1)[1].lower() in ALLOWED_EXTENSIONS
+
+
+def secure_filename(name: str) -> str:
+    keep = [c if (c.isalnum() or c in "._-") else "_" for c in os.path.basename(name)]
+    return "".join(keep) or "upload"
+
+
+def _imread_gray(path: str) -> np.ndarray | None:
+    import cv2
+
+    return cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+
+
+def _imwrite(path: str, img: np.ndarray) -> None:
+    import cv2
+
+    cv2.imwrite(path, img)
+
+
+def save_masks(image_masks: np.ndarray, filename: str, folder: str) -> None:
+    """Per-channel mask PNGs, reference naming (app.py:215-229) — written
+    with cv2 instead of a matplotlib figure per channel."""
+    base = os.path.splitext(filename)[0]
+    for i in range(image_masks.shape[0]):
+        ch = image_masks[i]
+        lo, hi = float(ch.min()), float(ch.max())
+        u8 = ((ch - lo) / (hi - lo + 1e-8) * 255).astype(np.uint8)
+        _imwrite(os.path.join(folder, f"{base}_mask_{i+1}.png"), u8)
+
+
+class CADxApp:
+    """Route logic, decoupled from the HTTP plumbing for testability."""
+
+    def __init__(self, workspace_root: str, engine: InferenceEngine | None = None):
+        self.ws = Workspace(workspace_root)
+        self.engine = engine or InferenceEngine()
+        self._lock = threading.Lock()
+
+    # ---------------- upload-single (app.py:230-314) ----------------
+    def upload_single(self, image_bytes: bytes, filename: str,
+                      breast: str = "", modality: str = "") -> dict:
+        import uuid
+
+        filename = secure_filename(filename)
+        for f in ("raw", "preprocessed", "segmentation", "clean"):
+            self.ws.clear_folder(f)
+        raw_path = os.path.join(self.ws.folder("raw"), filename)
+        with open(raw_path, "wb") as f:
+            f.write(image_bytes)
+
+        img = _imread_gray(raw_path)
+        if img is None:
+            return {"error": "Could not read image", "redirect": "/diagnosis"}
+
+        patient_id = f"{str(uuid.uuid4())[:8]}_{filename}"
+        processed_path = os.path.join(
+            self.ws.folder("preprocessed"),
+            f"{os.path.splitext(filename)[0]}_processed.npy")
+        np.save(processed_path, img)
+
+        image_masks, clean_image = self.engine.process_single_image(img)
+
+        clean_path = os.path.join(self.ws.folder("clean"), filename)
+        _imwrite(clean_path, clean_image)
+
+        # tracked async mask PNGs (reference used an unjoined thread)
+        self.ws.submit("save_masks", save_masks, image_masks, filename,
+                       self.ws.folder("segmentation"))
+
+        masks_path = os.path.join(
+            self.ws.folder("segmentation"),
+            f"{os.path.splitext(filename)[0]}_all_masks.npy")
+        np.save(masks_path, image_masks)
+
+        self.ws.write_case({
+            "dicom_file_path": raw_path,
+            "preprocessed_file_path": processed_path,
+            "segmented_images_file_path": masks_path,
+            "patient_id": patient_id,
+            "breast": breast,
+            "image_view": "",
+            "pathology": "",
+            "modality": modality,
+            "image_name": filename,
+            "clean_image_path": clean_path,
+        })
+        return {"patient_id": patient_id, "redirect": "/diagnosis"}
+
+    # ---------------- bulk (app.py:316-343, :774-809) ----------------
+    def upload_bulk(self, zip_bytes: bytes) -> dict:
+        self.ws.clear_folder("bulk")
+        extracted = []
+        with zipfile.ZipFile(io.BytesIO(zip_bytes)) as zf:
+            for member in zf.infolist():
+                name = os.path.basename(member.filename)
+                if not name:
+                    continue
+                with zf.open(member) as src:
+                    with open(os.path.join(self.ws.folder("bulk"), name), "wb") as dst:
+                        dst.write(src.read())
+                extracted.append(name)
+        return {"extracted": extracted, "redirect": "/bulk-select-parameters"}
+
+    def bulk_images(self) -> list[str]:
+        return sorted(f for f in os.listdir(self.ws.folder("bulk")) if allowed_file(f))
+
+    def upload_bulk_image(self, image_name: str, breast: str = "",
+                          modality: str = "") -> dict:
+        path = os.path.join(self.ws.folder("bulk"), image_name)
+        if not image_name or not os.path.exists(path):
+            return {"error": f"{image_name} does not exist",
+                    "redirect": "/bulk-select-parameters"}
+        with open(path, "rb") as f:
+            return self.upload_single(f.read(), image_name, breast, modality)
+
+    # ---------------- diagnosis / view (app.py:358-462) ----------------
+    def diagnosis(self) -> list[dict]:
+        return self.ws.read_cases()
+
+    def view_image(self, patient_id: str) -> dict:
+        row = self.ws.find_case(patient_id)
+        if row is None:
+            return {"error": f"unknown patient_id {patient_id}"}
+        image_path = row["dicom_file_path"]
+        return {
+            "image_filename": os.path.basename(image_path),
+            "image_name": os.path.basename(image_path),
+            "breast": row["breast"],
+            "modality": row["modality"],
+            "patient_id": patient_id,
+        }
+
+    def view_segmentation(self) -> dict:
+        cases = self.ws.read_cases()
+        if not cases:
+            return {"error": "Segmented path not provided", "status": 400}
+        seg_path = cases[0]["segmented_images_file_path"]
+        base = os.path.splitext(os.path.basename(seg_path))[0].replace("_all_masks", "")
+        self.ws.wait("save_masks")  # fixed race: reference read while writing
+        prefix = f"{base}_mask_"
+        masks = sorted(
+            f for f in os.listdir(self.ws.folder("segmentation"))
+            if f.startswith(prefix) and f.endswith(".png"))
+        if not masks:
+            return {"error": f"No segmentation masks found for {base}", "status": 404}
+        return {
+            "masks": masks,
+            "metadata": {"image_name": base + ".png", "modality": "Mammogram",
+                         "body_part": "Breast"},
+        }
+
+    # ---------------- classify / roi (app.py:492-764) ----------------
+    def _load_features(self):
+        npy = [f for f in os.listdir(self.ws.folder("segmentation"))
+               if f.endswith(".npy")]
+        if len(npy) == 0:
+            return None, {"error": "No .npy file found in segmentation folder",
+                          "status": 404}
+        if len(npy) > 1:
+            return None, {"error": "More than one .npy file found in segmentation folder",
+                          "status": 400}
+        return np.load(os.path.join(self.ws.folder("segmentation"), npy[0])), None
+
+    def classify(self, pipeline: str = "basic") -> dict:
+        features, err = self._load_features()
+        if err:
+            return err
+        result = self.engine.classify(features, pipeline)
+        result["sample"] = 1
+
+        # async Grad-CAM artifacts, tracked (reference thread at app.py:649)
+        cases = self.ws.read_cases()
+        clean_path = cases[0]["clean_image_path"] if cases else None
+        if clean_path and os.path.exists(clean_path):
+            display = _imread_gray(clean_path)
+            self.ws.submit(
+                "gradcam", self.engine.write_gradcam_overlays, features,
+                display, self.ws.folder("explainability"), (0, 1), pipeline)
+        image_filename = cases[0]["image_name"] if cases else ""
+        return {"classificationData": [result], "image_filename": image_filename}
+
+    def roi(self, pipeline: str = "basic") -> dict:
+        features, err = self._load_features()
+        if err:
+            return err
+        base = self.engine.classify(features, pipeline)
+        self.ws.wait("gradcam")  # overlays ready before the viewer reads them
+        results = []
+        for class_idx in range(2):
+            probs = base["prediction_probabilities"]
+            results.append({
+                "class_idx": class_idx,
+                "class_name": CLASS_MAP[class_idx],
+                "prediction_probabilities": probs,
+                "predicted_class": base["predicted_class"],
+                "accuracy": float(max(probs) * 100),
+                "confidence": float(probs[class_idx] * 100),
+                "diagnosis": base["predicted_class"],
+                "explainability": 0.5,
+                "roiCoords": {"top": 0.20, "left": 0.30, "width": 0.20, "height": 0.175},
+                "overlay_path": f"explainability/gradcam_overlay_class_{class_idx}.png",
+            })
+        cases = self.ws.read_cases()
+        return {
+            "classificationData": results,
+            "image_filename": cases[0]["image_name"] if cases else "",
+            "class_0_image_path": results[0]["overlay_path"],
+            "class_1_image_path": results[1]["overlay_path"],
+        }
+
+
+# ---------------------------------------------------------------------------
+# HTTP plumbing
+# ---------------------------------------------------------------------------
+
+def _parse_multipart(content_type: str, body: bytes) -> dict:
+    """Minimal multipart/form-data parser (fields + files)."""
+    fields: dict[str, bytes | tuple[str, bytes]] = {}
+    if "boundary=" not in content_type:
+        return fields
+    boundary = content_type.split("boundary=", 1)[1].strip().strip('"')
+    delim = b"--" + boundary.encode()
+    for part in body.split(delim):
+        part = part.strip(b"\r\n")
+        if not part or part == b"--":
+            continue
+        if b"\r\n\r\n" not in part:
+            continue
+        header_blob, value = part.split(b"\r\n\r\n", 1)
+        headers = header_blob.decode("utf-8", errors="replace")
+        name = None
+        filename = None
+        for line in headers.split("\r\n"):
+            if line.lower().startswith("content-disposition"):
+                for item in line.split(";"):
+                    item = item.strip()
+                    if item.startswith("name="):
+                        name = item[5:].strip('"')
+                    elif item.startswith("filename="):
+                        filename = item[9:].strip('"')
+        if name is None:
+            continue
+        fields[name] = (filename, value) if filename is not None else value
+    return fields
+
+
+class _Handler(BaseHTTPRequestHandler):
+    app: CADxApp = None  # injected by make_server
+
+    def log_message(self, fmt, *args):  # quiet
+        pass
+
+    # -- helpers ------------------------------------------------------------
+    def _send_json(self, obj, status: int = 200, cookie: str | None = None):
+        body = json.dumps(obj).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        if cookie:
+            self.send_header("Set-Cookie", cookie)
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _redirect(self, location: str):
+        self.send_response(302)
+        self.send_header("Location", location)
+        self.end_headers()
+
+    def _pipeline(self, query: dict) -> str:
+        if "pipeline" in query:
+            return query["pipeline"][0]
+        cookies = self.headers.get("Cookie", "")
+        for item in cookies.split(";"):
+            if item.strip().startswith("cadx-pipeline="):
+                return item.strip().split("=", 1)[1]
+        return "basic"
+
+    # -- GET ------------------------------------------------------------
+    def do_GET(self):
+        parsed = urllib.parse.urlparse(self.path)
+        query = urllib.parse.parse_qs(parsed.query)
+        route = parsed.path.rstrip("/") or "/"
+        app = self.app
+
+        if route == "/":
+            self._send_json({"page": "landing",
+                             "pipelines": ["basic", "advanced"],
+                             "next": "/home?pipeline=basic|advanced"})
+        elif route == "/home":
+            pipeline = query.get("pipeline", ["basic"])[0]
+            self._send_json({"page": "home", "pipeline": pipeline},
+                            cookie=f"cadx-pipeline={pipeline}; Path=/")
+        elif route == "/diagnosis":
+            self._send_json({"cases": app.diagnosis()})
+        elif route.startswith("/view/"):
+            self._send_json(app.view_image(route.split("/view/", 1)[1]))
+        elif route == "/view_segmentation":
+            out = app.view_segmentation()
+            self._send_json(out, status=out.pop("status", 200) if "error" in out else 200)
+        elif route == "/classify":
+            out = app.classify(self._pipeline(query))
+            self._send_json(out, status=out.pop("status", 200) if "error" in out else 200)
+        elif route == "/roi":
+            out = app.roi(self._pipeline(query))
+            self._send_json(out, status=out.pop("status", 200) if "error" in out else 200)
+        elif route == "/bulk-select-parameters":
+            self._send_json({"images": app.bulk_images()})
+        elif route == "/sample":
+            self._send_json({"page": "sample"})
+        else:
+            self._send_json({"error": "not found"}, 404)
+
+    # -- POST -----------------------------------------------------------
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length)
+        fields = _parse_multipart(self.headers.get("Content-Type", ""), body)
+        route = urllib.parse.urlparse(self.path).path.rstrip("/")
+        app = self.app
+
+        def field_str(name, default=""):
+            v = fields.get(name, default)
+            if isinstance(v, bytes):
+                return v.decode("utf-8", errors="replace")
+            return v if isinstance(v, str) else default
+
+        if route == "/upload-single":
+            item = fields.get("image1")
+            if not isinstance(item, tuple):
+                self._redirect("/diagnosis")
+                return
+            filename, data = item
+            out = app.upload_single(data, filename or "upload.png",
+                                    field_str("body_part1"), field_str("modality1"))
+            self._redirect(out.get("redirect", "/diagnosis"))
+        elif route == "/upload-bulk":
+            item = fields.get("bulk_images_zip")
+            if isinstance(item, tuple) and (item[0] or "").endswith(".zip"):
+                app.upload_bulk(item[1])
+            self._redirect("/bulk-select-parameters")
+        elif route == "/upload-bulk-image":
+            out = app.upload_bulk_image(field_str("bulk_image_name"),
+                                        field_str("body_part1"),
+                                        field_str("modality1"))
+            self._redirect(out.get("redirect", "/diagnosis"))
+        else:
+            self._send_json({"error": "not found"}, 404)
+
+
+def make_server(workspace_root: str, host: str = "127.0.0.1", port: int = 0,
+                engine: InferenceEngine | None = None) -> ThreadingHTTPServer:
+    app = CADxApp(workspace_root, engine)
+    handler = type("BoundHandler", (_Handler,), {"app": app})
+    server = ThreadingHTTPServer((host, port), handler)
+    server.app = app
+    return server
+
+
+def main():  # pragma: no cover
+    import argparse
+
+    ap = argparse.ArgumentParser(description="cadx_tpu serving layer")
+    ap.add_argument("--workspace", default="./cadx_workspace")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=5000)
+    args = ap.parse_args()
+    server = make_server(args.workspace, args.host, args.port)
+    print(f"cadx_tpu serving on http://{args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

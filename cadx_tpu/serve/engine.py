@@ -1,0 +1,186 @@
+"""Inference engine behind the serving routes.
+
+Owns the jitted programs and model parameters; one instance serves all
+requests (XLA programs are thread-safe to call). Mirrors the reference's
+two pipelines (app.py:524-606):
+
+- "basic": segmentation features resized to the classifier input
+  (process_bottleneck_features, app.py:466-489) -> reference-architecture
+  CNN -> guarded softmax.
+- "advanced": the full feature stack classified directly (the reference's
+  torch model path).
+
+plus the segmentation step itself (unet_process_single_image,
+app.py:96-150: cleaner -> 512x512 -> encoder conv1 -> (64, 256, 256)
+CHW features) and per-class Grad-CAM overlays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cadx_tpu import checkpoint as _ckpt
+from cadx_tpu.models import cnn, unet
+from cadx_tpu.ops.resize import resize_area, resize_linear
+from cadx_tpu.ops.threshold import to_uint8
+from cadx_tpu.preprocess import cleaner
+from cadx_tpu.xai import gradcam
+
+CLASS_MAP = {0: "Benign", 1: "Malignant", 2: "Normal"}
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    segment_hw: tuple[int, int] = (512, 512)
+    feature_resize: tuple[int, int] = (32, 32)
+    basic_classifier: cnn.CNNConfig = dataclasses.field(
+        default_factory=lambda: cnn.CNNConfig(
+            input_shape=(32, 32, 64), num_classes=2,
+            conv_layers=((128, 3), (64, 3)), hidden_units=(256, 128),
+            dropout_rate=0.3,
+        )
+    )
+    advanced_classifier: cnn.CNNConfig = dataclasses.field(
+        default_factory=lambda: cnn.CNNConfig(
+            input_shape=(256, 256, 64), num_classes=2,
+            conv_layers=((32, 3), (64, 3)), hidden_units=(256, 128),
+            dropout_rate=0.1,
+        )
+    )
+
+
+class InferenceEngine:
+    def __init__(self, config: EngineConfig | None = None, seed: int = 0,
+                 basic_npz: str | None = None):
+        self.config = config or EngineConfig()
+        k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
+        self.encoder_params = unet.init_resnet_encoder(k1)
+        if basic_npz and os.path.exists(basic_npz):
+            cfg, params = _ckpt.load_npz(basic_npz)
+            self.config = dataclasses.replace(self.config, basic_classifier=cfg)
+            self.basic_params = params
+        else:
+            self.basic_params = cnn.init_params(k2, self.config.basic_classifier)
+        self.advanced_params = cnn.init_params(k3, self.config.advanced_classifier)
+
+    # ------------------------------------------------------------------
+    # segmentation (upload-single path)
+    # ------------------------------------------------------------------
+    def process_single_image(self, img: np.ndarray):
+        """Reference unet_process_single_image (app.py:96-150): cleaner ->
+        512x512 gray -> encoder conv1 features.
+
+        Returns (image_masks CHW (64, 256, 256) float32, clean_image uint8).
+        """
+        x = jnp.asarray(img)
+        feats, clean_u8 = self._segment_jit(x)
+        return np.asarray(feats), np.asarray(clean_u8)
+
+    @functools.cached_property
+    def _segment_jit(self):
+        hw = self.config.segment_hw
+
+        @jax.jit
+        def run(img):
+            raw8 = to_uint8(img)
+            img_suppr, breast_mask = cleaner.suppress_artifacts(raw8, 0.05, 15)
+            img_breast_only, _ = cleaner.segment_breast_mask(img_suppr, 0.05)
+            res = cleaner.remove_pectoral(img_breast_only.astype(jnp.uint8),
+                                          breast_mask, 0.8, 3, 7, 25)
+            gray = cleaner.boundary_image_gray(res)
+            resized = resize_area(gray, hw)
+            feats = unet.encoder_first_features(
+                self.encoder_params, (resized / 255.0)[None, ..., None])[0]
+            clean_u8 = jnp.clip(jnp.round(resized), 0, 255).astype(jnp.uint8)
+            return jnp.transpose(feats, (2, 0, 1)), clean_u8  # CHW like torch
+
+        return run
+
+    # ------------------------------------------------------------------
+    # classification (classify / roi paths)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _to_hwc(f: np.ndarray) -> np.ndarray:
+        """Engine features are CHW with C=64 (encoder conv1 width); the
+        reference's `shape[0] < shape[2]` heuristic (app.py:481) breaks on
+        small spatial sizes, so detect the known channel count instead."""
+        if f.ndim == 3 and f.shape[0] == 64 and f.shape[-1] != 64:
+            return f.transpose(1, 2, 0)
+        if f.ndim == 3 and f.shape[0] < f.shape[2]:
+            return f.transpose(1, 2, 0)
+        return f
+
+    def process_bottleneck_features(self, feat: np.ndarray) -> np.ndarray:
+        """CHW -> HWC + bilinear resize to the basic classifier's input
+        (app.py:466-489)."""
+        f = self._to_hwc(np.asarray(feat, np.float32))
+        out = resize_linear(jnp.asarray(f), self.config.feature_resize)
+        return np.asarray(out)
+
+    def classify(self, features: np.ndarray, pipeline: str = "basic") -> dict:
+        """One sample -> result dict shaped like the reference's results
+        rows (app.py:555-564 / :597-606)."""
+        if pipeline == "basic":
+            pre = self.process_bottleneck_features(features)
+            cls_idx, probs = self._predict_basic(jnp.asarray(pre))
+        else:
+            f = self._to_hwc(np.asarray(features, np.float32))
+            cls_idx, probs = self._predict_advanced(jnp.asarray(f))
+        cls_idx = int(cls_idx)
+        probs = np.asarray(probs)
+        return {
+            "prediction_probabilities": probs.tolist(),
+            "predicted_class": CLASS_MAP[cls_idx],
+            "predicted_class_index": cls_idx,
+            "accuracy": round(float(probs.max()) * 100, 2),
+            "confidence": 76,
+            "diagnosis": CLASS_MAP[cls_idx],
+            "explainability": 0.5,
+            "roiCoords": {"top": 0.20, "left": 0.30, "width": 0.40, "height": 0.35},
+        }
+
+    @functools.cached_property
+    def _predict_basic(self):
+        cfg = self.config.basic_classifier
+
+        @jax.jit
+        def run(x):
+            probs = cnn.forward(self.basic_params, x[None], cfg)[0]
+            return jnp.argmax(probs), probs
+
+        return run
+
+    @functools.cached_property
+    def _predict_advanced(self):
+        cfg = self.config.advanced_classifier
+
+        @jax.jit
+        def run(x):
+            probs = cnn.forward(self.advanced_params, x[None], cfg)[0]
+            return jnp.argmax(probs), probs
+
+        return run
+
+    # ------------------------------------------------------------------
+    # explainability artifacts
+    # ------------------------------------------------------------------
+    def write_gradcam_overlays(self, features: np.ndarray, display_img: np.ndarray,
+                               save_folder: str, classes=(0, 1),
+                               pipeline: str = "basic") -> dict:
+        """Per-class Grad-CAM overlays with the reference's filenames."""
+        if pipeline == "basic":
+            feats = self.process_bottleneck_features(features)
+            params, cfg = self.basic_params, self.config.basic_classifier
+        else:
+            feats = self._to_hwc(np.asarray(features, np.float32))
+            params, cfg = self.advanced_params, self.config.advanced_classifier
+        return gradcam.generate_dual_class_gradcam_overlays(
+            params, cfg, feats, display_img, classes, save_folder)
