@@ -103,6 +103,20 @@ def _label_bits(h: int, w: int) -> int:
     return int(np.ceil(np.log2(h * w + 1)))
 
 
+def _use_pallas(h: int, w: int) -> bool:
+    """Dispatch to the VMEM-resident Pallas kernels on TPU for images big
+    enough to tile cleanly (bit-identical results, ~8x faster on hard
+    masks). CADX_DISABLE_PALLAS=1 forces the XLA path."""
+    import os
+
+    if os.environ.get("CADX_DISABLE_PALLAS") == "1":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    seg_bits = int(np.ceil(np.log2(max(h, w) + 2)))
+    return min(h, w) >= 128 and _label_bits(h, w) + seg_bits <= 30
+
+
 def _label_core(mask: jax.Array, connectivity: int, max_iters: int,
                 init: jax.Array | None = None) -> jax.Array:
     h, w = mask.shape
@@ -149,6 +163,11 @@ def label_components(mask: jax.Array, connectivity: int = 8,
     """
     h, w = mask.shape
     mask = mask.astype(bool)
+
+    if _use_pallas(h, w):
+        from cadx_tpu.kernels.ccl import label_components_pallas
+
+        return label_components_pallas(mask[None], connectivity, max_iters)[0]
 
     init = None
     if h % 4 == 0 and w % 4 == 0 and min(h, w) >= 64:
@@ -213,6 +232,10 @@ def flood_from(mask: jax.Array, seed: jax.Array, max_iters: int = 128) -> jax.Ar
     """
     mask = mask.astype(bool)
     h, w = mask.shape
+    if _use_pallas(h, w):
+        from cadx_tpu.kernels.flood import flood_from_pallas
+
+        return flood_from_pallas(mask[None], seed.astype(bool)[None], max_iters)[0]
     barriers = (~mask).astype(jnp.int32)
     row_seg = jnp.cumsum(barriers, axis=1)
     col_seg = jnp.cumsum(barriers, axis=0)

@@ -48,6 +48,16 @@ def marker_watershed(image: jax.Array, markers: jax.Array,
     Returns (labels, boundary) where boundary marks pixels adjacent to a
     different label (cv2.watershed's -1 ridge pixels).
     """
+    h, w = image.shape
+    from cadx_tpu.ops.components import _use_pallas
+
+    if _use_pallas(h, w):
+        from cadx_tpu.kernels.watershed_kernel import marker_watershed_pallas
+
+        labels, boundary = marker_watershed_pallas(
+            image[None], markers[None], max_iters, stable_iters)
+        return labels[0], boundary[0]
+
     img = image.astype(jnp.float32)
     labels0 = markers.astype(jnp.int32)
     dist0 = jnp.where(labels0 > 0, 0.0, _BIG)
