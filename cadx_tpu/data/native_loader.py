@@ -1,0 +1,154 @@
+"""ctypes bindings for the native (C++) data-loading runtime.
+
+Builds native/cadx_io.cc with g++ on first use (cached in build/), and
+exposes:
+- fast single-file DICOM pixel reads (drop-in for data.dicom on the
+  uncompressed formats both support),
+- NativeBatchLoader: a multi-threaded prefetching batch iterator that
+  parses + resizes + normalizes DICOMs off the Python thread while the
+  accelerator consumes previous batches.
+
+Falls back cleanly (raises NativeUnavailable) if no toolchain exists;
+callers use the pure-Python loader then.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "cadx_io.cc")
+_BUILD_DIR = os.path.join(_REPO_ROOT, "build")
+_LIB_PATH = os.path.join(_BUILD_DIR, "libcadx_io.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _build() -> str:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    if (os.path.exists(_LIB_PATH)
+            and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
+        return _LIB_PATH
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+           _SRC, "-o", _LIB_PATH]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        detail = getattr(e, "stderr", str(e))
+        raise NativeUnavailable(f"failed to build cadx_io: {detail}") from e
+    return _LIB_PATH
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    with _lib_lock:
+        if _lib is None:
+            lib = ctypes.CDLL(_build())
+            lib.cadx_dicom_info.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+            lib.cadx_dicom_info.restype = ctypes.c_int
+            lib.cadx_dicom_pixels.argtypes = [
+                ctypes.c_char_p,
+                np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+                ctypes.c_int]
+            lib.cadx_dicom_pixels.restype = ctypes.c_int
+            lib.cadx_loader_create.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int]
+            lib.cadx_loader_create.restype = ctypes.c_void_p
+            lib.cadx_loader_next.argtypes = [
+                ctypes.c_void_p,
+                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
+            lib.cadx_loader_next.restype = ctypes.c_int
+            lib.cadx_loader_destroy.argtypes = [ctypes.c_void_p]
+            lib.cadx_loader_destroy.restype = None
+            _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    try:
+        get_lib()
+        return True
+    except NativeUnavailable:
+        return False
+
+
+def read_dicom_pixels(path: str) -> np.ndarray:
+    """Native single-file DICOM pixel read -> uint16 (rows, cols)."""
+    lib = get_lib()
+    rows = ctypes.c_int()
+    cols = ctypes.c_int()
+    bits = ctypes.c_int()
+    rc = lib.cadx_dicom_info(path.encode(), ctypes.byref(rows),
+                             ctypes.byref(cols), ctypes.byref(bits))
+    if rc != 0:
+        raise ValueError(f"cadx_dicom_info({path}) failed rc={rc}")
+    out = np.empty((rows.value, cols.value), np.uint16)
+    rc = lib.cadx_dicom_pixels(path.encode(), out, out.size)
+    if rc != 0:
+        raise ValueError(f"cadx_dicom_pixels({path}) failed rc={rc}")
+    return out
+
+
+class NativeBatchLoader:
+    """Prefetching batch iterator over DICOM files.
+
+    Yields (data float32 (batch, H, W), labels int32 (batch,), ok bool
+    (batch,)) with per-item graceful skip (ok=False for unreadable files,
+    mirroring the reference's skip-and-warn behavior).
+    """
+
+    def __init__(self, paths: list[str], labels, batch_size: int,
+                 out_hw: tuple[int, int], n_workers: int = 4,
+                 normalize: bool = True):
+        self._lib = get_lib()
+        self.batch_size = batch_size
+        self.out_hw = out_hw
+        self._n = len(paths)
+        self._encoded = [p.encode() for p in paths]
+        arr = (ctypes.c_char_p * len(paths))(*self._encoded)
+        self._labels = np.asarray(labels, np.int32)
+        self._handle = self._lib.cadx_loader_create(
+            arr, self._labels, len(paths), batch_size, out_hw[0], out_hw[1],
+            n_workers, int(normalize))
+        if not self._handle:
+            raise NativeUnavailable("cadx_loader_create returned NULL")
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        data = np.empty((self.batch_size, *self.out_hw), np.float32)
+        labels = np.empty((self.batch_size,), np.int32)
+        ok = np.empty((self.batch_size,), np.int32)
+        count = self._lib.cadx_loader_next(self._handle, data, labels, ok)
+        if count == 0:
+            raise StopIteration
+        return data[:count], labels[:count], ok[:count].astype(bool)
+
+    def close(self):
+        if getattr(self, "_handle", None):
+            self._lib.cadx_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

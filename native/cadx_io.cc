@@ -1,0 +1,320 @@
+// cadx_io: native data-loading runtime for the cadx_tpu framework.
+//
+// The reference pipeline loads DICOMs one at a time in Python
+// (Classes/Preprocessing.py) — fine for 245 images, a bottleneck for
+// production feeds. This library provides the host-side runtime the
+// Python layer binds via ctypes:
+//
+//   - a minimal DICOM parser (explicit/implicit VR little-endian,
+//     uncompressed 8/16-bit monochrome) mirroring cadx_tpu/data/dicom.py
+//   - area/nearest resize + normalize into float32 model input
+//   - a multi-threaded prefetching batch loader: worker threads parse and
+//     preprocess files into a bounded ring of ready batches while the
+//     accelerator consumes previous ones.
+//
+// Build: g++ -O3 -shared -fPIC -std=c++17 -pthread cadx_io.cc -o libcadx_io.so
+
+#include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <fstream>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct DicomImage {
+  int rows = 0;
+  int cols = 0;
+  int bits = 0;
+  std::vector<uint16_t> pixels;  // normalized storage (u8 widened)
+  std::string error;
+  bool ok = false;
+};
+
+uint16_t rd16(const uint8_t* p) { return static_cast<uint16_t>(p[0] | (p[1] << 8)); }
+uint32_t rd32(const uint8_t* p) {
+  return static_cast<uint32_t>(p[0] | (p[1] << 8) | (p[2] << 16) | (p[3] << 24));
+}
+
+bool is_long_vr(const char* vr) {
+  static const char* kLong[] = {"OB", "OW", "OF", "SQ", "UT", "UN"};
+  for (const char* v : kLong)
+    if (vr[0] == v[0] && vr[1] == v[1]) return true;
+  return false;
+}
+
+DicomImage parse_dicom(const uint8_t* data, size_t n) {
+  DicomImage out;
+  if (n < 132 || std::memcmp(data + 128, "DICM", 4) != 0) {
+    out.error = "not a DICOM file";
+    return out;
+  }
+  size_t off = 132;
+  bool explicit_vr = true;
+  std::string ts = "1.2.840.10008.1.2.1";
+  int rows = 0, cols = 0, bits = 16;
+  const uint8_t* pixel_data = nullptr;
+  size_t pixel_len = 0;
+
+  bool in_meta = true;
+  while (off + 8 <= n) {
+    uint16_t group = rd16(data + off);
+    uint16_t elem = rd16(data + off + 2);
+    size_t header = 4;
+    uint32_t length = 0;
+    bool exp = explicit_vr || group == 0x0002;
+    if (in_meta && group != 0x0002) {
+      in_meta = false;
+      explicit_vr = (ts == "1.2.840.10008.1.2.1");
+      if (ts != "1.2.840.10008.1.2" && ts != "1.2.840.10008.1.2.1") {
+        out.error = "unsupported transfer syntax " + ts;
+        return out;
+      }
+      exp = explicit_vr;
+    }
+    if (exp) {
+      const char* vr = reinterpret_cast<const char*>(data + off + 4);
+      if (is_long_vr(vr)) {
+        if (off + 12 > n) break;
+        length = rd32(data + off + 8);
+        header = 12;
+      } else {
+        length = rd16(data + off + 6);
+        header = 8;
+      }
+    } else {
+      if (off + 8 > n) break;
+      length = rd32(data + off + 4);
+      header = 8;
+    }
+    if (length == 0xFFFFFFFFu) {
+      out.error = "undefined-length element (compressed pixel data?)";
+      return out;
+    }
+    const uint8_t* value = data + off + header;
+    if (off + header + length > n) break;
+
+    if (group == 0x0002 && elem == 0x0010) {
+      ts.assign(reinterpret_cast<const char*>(value), length);
+      while (!ts.empty() && (ts.back() == '\0' || ts.back() == ' ')) ts.pop_back();
+    } else if (group == 0x0028 && elem == 0x0010) {
+      rows = rd16(value);
+    } else if (group == 0x0028 && elem == 0x0011) {
+      cols = rd16(value);
+    } else if (group == 0x0028 && elem == 0x0100) {
+      bits = rd16(value);
+    } else if (group == 0x7FE0 && elem == 0x0010) {
+      pixel_data = value;
+      pixel_len = length;
+    }
+    off += header + length;
+  }
+
+  if (!pixel_data || rows <= 0 || cols <= 0) {
+    out.error = "missing PixelData or Rows/Columns";
+    return out;
+  }
+  size_t count = static_cast<size_t>(rows) * cols;
+  out.pixels.resize(count);
+  if (bits == 16) {
+    if (pixel_len < count * 2) { out.error = "PixelData too short"; return out; }
+    std::memcpy(out.pixels.data(), pixel_data, count * 2);
+  } else if (bits == 8) {
+    if (pixel_len < count) { out.error = "PixelData too short"; return out; }
+    for (size_t i = 0; i < count; ++i) out.pixels[i] = pixel_data[i];
+  } else {
+    out.error = "unsupported BitsAllocated";
+    return out;
+  }
+  out.rows = rows;
+  out.cols = cols;
+  out.bits = bits;
+  out.ok = true;
+  return out;
+}
+
+// Area-average resize (integer-binned), matching resize_area semantics
+// closely enough for data loading; exact for integer factors.
+void resize_area_f32(const uint16_t* src, int sh, int sw, float* dst, int dh,
+                     int dw) {
+  for (int y = 0; y < dh; ++y) {
+    int y0 = static_cast<int>(static_cast<int64_t>(y) * sh / dh);
+    int y1 = static_cast<int>(static_cast<int64_t>(y + 1) * sh / dh);
+    if (y1 <= y0) y1 = y0 + 1;
+    for (int x = 0; x < dw; ++x) {
+      int x0 = static_cast<int>(static_cast<int64_t>(x) * sw / dw);
+      int x1 = static_cast<int>(static_cast<int64_t>(x + 1) * sw / dw);
+      if (x1 <= x0) x1 = x0 + 1;
+      double acc = 0.0;
+      for (int yy = y0; yy < y1; ++yy)
+        for (int xx = x0; xx < x1; ++xx) acc += src[yy * sw + xx];
+      dst[y * dw + x] =
+          static_cast<float>(acc / ((y1 - y0) * static_cast<double>(x1 - x0)));
+    }
+  }
+}
+
+struct Batch {
+  std::vector<float> data;    // [batch, H, W]
+  std::vector<int32_t> labels;
+  std::vector<int32_t> ok;    // per-item success flags
+  int count = 0;
+};
+
+struct LoaderState {
+  std::vector<std::string> paths;
+  std::vector<int32_t> labels;
+  int batch_size = 0;
+  int out_h = 0;
+  int out_w = 0;
+  int normalize = 1;  // divide by per-image max
+
+  std::deque<Batch> ready;
+  std::mutex mu;
+  std::condition_variable cv_ready;
+  std::condition_variable cv_space;
+  size_t next_index = 0;
+  size_t max_ready = 4;
+  size_t total_batches = 0;
+  size_t consumed = 0;
+  std::atomic<bool> stop{false};
+  std::vector<std::thread> workers;
+  std::mutex index_mu;
+};
+
+void worker_loop(LoaderState* st) {
+  while (!st->stop.load()) {
+    size_t start;
+    {
+      std::lock_guard<std::mutex> lk(st->index_mu);
+      if (st->next_index >= st->paths.size()) return;
+      start = st->next_index;
+      st->next_index += st->batch_size;
+    }
+    size_t end = std::min(start + st->batch_size, st->paths.size());
+    Batch b;
+    b.count = static_cast<int>(end - start);
+    b.data.assign(static_cast<size_t>(st->batch_size) * st->out_h * st->out_w, 0.f);
+    b.labels.assign(st->batch_size, -1);
+    b.ok.assign(st->batch_size, 0);
+    for (size_t i = start; i < end; ++i) {
+      std::ifstream f(st->paths[i], std::ios::binary);
+      std::vector<uint8_t> buf((std::istreambuf_iterator<char>(f)),
+                               std::istreambuf_iterator<char>());
+      DicomImage img = parse_dicom(buf.data(), buf.size());
+      size_t slot = i - start;
+      if (!img.ok) continue;  // graceful per-item skip, like the reference
+      float* dst = b.data.data() + slot * st->out_h * st->out_w;
+      resize_area_f32(img.pixels.data(), img.rows, img.cols, dst, st->out_h,
+                      st->out_w);
+      if (st->normalize) {
+        float mx = 1e-8f;
+        for (int k = 0; k < st->out_h * st->out_w; ++k)
+          mx = std::max(mx, dst[k]);
+        for (int k = 0; k < st->out_h * st->out_w; ++k) dst[k] /= mx;
+      }
+      b.labels[slot] = st->labels[i];
+      b.ok[slot] = 1;
+    }
+    {
+      std::unique_lock<std::mutex> lk(st->mu);
+      st->cv_space.wait(lk, [st] {
+        return st->ready.size() < st->max_ready || st->stop.load();
+      });
+      if (st->stop.load()) return;
+      st->ready.push_back(std::move(b));
+    }
+    st->cv_ready.notify_one();
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// --- single-file API -------------------------------------------------------
+
+// Parse a DICOM file; returns 0 on success. rows/cols/bits written out.
+int cadx_dicom_info(const char* path, int* rows, int* cols, int* bits) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) return 1;
+  std::vector<uint8_t> buf((std::istreambuf_iterator<char>(f)),
+                           std::istreambuf_iterator<char>());
+  DicomImage img = parse_dicom(buf.data(), buf.size());
+  if (!img.ok) return 2;
+  *rows = img.rows;
+  *cols = img.cols;
+  *bits = img.bits;
+  return 0;
+}
+
+// Read pixel data as uint16 into caller-allocated buffer of rows*cols.
+int cadx_dicom_pixels(const char* path, uint16_t* out, int capacity) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) return 1;
+  std::vector<uint8_t> buf((std::istreambuf_iterator<char>(f)),
+                           std::istreambuf_iterator<char>());
+  DicomImage img = parse_dicom(buf.data(), buf.size());
+  if (!img.ok) return 2;
+  if (static_cast<int>(img.pixels.size()) > capacity) return 3;
+  std::memcpy(out, img.pixels.data(), img.pixels.size() * 2);
+  return 0;
+}
+
+// --- prefetching batch loader ----------------------------------------------
+
+void* cadx_loader_create(const char** paths, const int32_t* labels, int n,
+                         int batch_size, int out_h, int out_w, int n_workers,
+                         int normalize) {
+  auto* st = new LoaderState();
+  st->paths.assign(paths, paths + n);
+  st->labels.assign(labels, labels + n);
+  st->batch_size = batch_size;
+  st->out_h = out_h;
+  st->out_w = out_w;
+  st->normalize = normalize;
+  st->total_batches = (st->paths.size() + batch_size - 1) / batch_size;
+  int workers = std::max(1, n_workers);
+  for (int i = 0; i < workers; ++i)
+    st->workers.emplace_back(worker_loop, st);
+  return st;
+}
+
+// Fetch the next ready batch. Returns number of valid items, 0 when the
+// epoch is exhausted. Buffers must hold batch_size*H*W floats / ints.
+int cadx_loader_next(void* handle, float* data_out, int32_t* labels_out,
+                     int32_t* ok_out) {
+  auto* st = static_cast<LoaderState*>(handle);
+  std::unique_lock<std::mutex> lk(st->mu);
+  if (st->consumed >= st->total_batches) return 0;  // epoch exhausted
+  // every claimed batch range is eventually pushed, so this always wakes
+  st->cv_ready.wait(lk, [st] { return !st->ready.empty() || st->stop.load(); });
+  if (st->ready.empty()) return 0;
+  Batch b = std::move(st->ready.front());
+  st->ready.pop_front();
+  st->consumed++;
+  lk.unlock();
+  st->cv_space.notify_one();
+  std::memcpy(data_out, b.data.data(), b.data.size() * sizeof(float));
+  std::memcpy(labels_out, b.labels.data(), b.labels.size() * sizeof(int32_t));
+  std::memcpy(ok_out, b.ok.data(), b.ok.size() * sizeof(int32_t));
+  return b.count;
+}
+
+void cadx_loader_destroy(void* handle) {
+  auto* st = static_cast<LoaderState*>(handle);
+  st->stop.store(true);
+  st->cv_space.notify_all();
+  st->cv_ready.notify_all();
+  for (auto& t : st->workers)
+    if (t.joinable()) t.join();
+  delete st;
+}
+
+}  // extern "C"

@@ -1,0 +1,90 @@
+"""Native C++ IO runtime tests: build, DICOM parity with the Python
+reader, prefetching batch loader semantics, graceful skip."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cadx_tpu.data import dicom
+from cadx_tpu.data import native_loader as nl
+
+pytestmark = pytest.mark.skipif(not nl.available(),
+                                reason="no C++ toolchain available")
+
+
+@pytest.fixture
+def dicom_files(tmp_path, rng):
+    paths, labels, arrays = [], [], []
+    for i in range(7):
+        img = rng.integers(0, 4096, (40 + i, 32), dtype=np.uint16)
+        p = str(tmp_path / f"f{i}.dcm")
+        dicom.dcmwrite_minimal(p, img, patient_id=f"P{i}")
+        paths.append(p)
+        labels.append(i % 2)
+        arrays.append(img)
+    return paths, labels, arrays
+
+
+def test_native_dicom_matches_python(dicom_files):
+    paths, _, arrays = dicom_files
+    for p, ref in zip(paths, arrays):
+        out = nl.read_dicom_pixels(p)
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_native_dicom_uint8(tmp_path, rng):
+    img = rng.integers(0, 255, (16, 16), dtype=np.uint8)
+    p = str(tmp_path / "u8.dcm")
+    dicom.dcmwrite_minimal(p, img)
+    out = nl.read_dicom_pixels(p)
+    np.testing.assert_array_equal(out, img.astype(np.uint16))
+
+
+def test_batch_loader_full_epoch(dicom_files):
+    paths, labels, arrays = dicom_files
+    loader = nl.NativeBatchLoader(paths, labels, batch_size=3, out_hw=(16, 16))
+    batches = list(loader)
+    loader.close()
+    # 7 items in batches of 3 -> 3, 3, 1
+    counts = sorted(len(b[0]) for b in batches)
+    assert counts == [1, 3, 3]
+    total_ok = sum(int(b[2].sum()) for b in batches)
+    assert total_ok == 7
+    # labels preserved (order within epoch is deterministic ranges,
+    # batch arrival order may vary with threading)
+    all_labels = np.concatenate([b[1][b[2]] for b in batches])
+    assert sorted(all_labels.tolist()) == sorted(labels)
+    # normalized to [0, 1]
+    for data, _, ok in batches:
+        assert data[ok].max() <= 1.0 + 1e-6
+
+
+def test_batch_loader_matches_python_resize(dicom_files):
+    """Native resize+normalize tracks the Python area-resize pipeline."""
+    import jax.numpy as jnp
+
+    from cadx_tpu.ops.resize import resize_area
+
+    paths, labels, arrays = dicom_files
+    loader = nl.NativeBatchLoader(paths[:1], labels[:1], batch_size=1,
+                                  out_hw=(20, 16), n_workers=1)
+    data, lab, ok = next(iter(loader))
+    loader.close()
+    assert ok[0]
+    ref = np.asarray(resize_area(jnp.asarray(arrays[0].astype(np.float32)), (20, 16)))
+    ref = ref / ref.max()
+    np.testing.assert_allclose(data[0], ref, atol=0.05)  # binning differs slightly
+
+
+def test_graceful_skip(tmp_path, dicom_files, rng):
+    paths, labels, _ = dicom_files
+    bad = str(tmp_path / "bad.dcm")
+    with open(bad, "wb") as f:
+        f.write(b"not a dicom at all")
+    loader = nl.NativeBatchLoader(paths[:2] + [bad], labels[:2] + [1],
+                                  batch_size=3, out_hw=(8, 8))
+    data, lab, ok = next(iter(loader))
+    loader.close()
+    assert ok.tolist() == [True, True, False]
+    assert lab[2] == -1
