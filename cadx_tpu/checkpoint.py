@@ -83,11 +83,27 @@ def save_train_state(path: str, state: Any) -> None:
     d = os.path.dirname(path)
     if d:
         os.makedirs(d, exist_ok=True)
-    host_state = jax.tree_util.tree_map(np.asarray, state)
+
+    def to_host(x):
+        if isinstance(x, jax.Array):
+            # typed PRNG keys can't cross to numpy directly
+            if jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+                return {"__prng_key_data__": np.asarray(jax.random.key_data(x))}
+            return np.asarray(x)
+        return x
+
+    host_state = jax.tree_util.tree_map(to_host, state)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(host_state, f)
     os.replace(tmp, path)  # atomic: a crash never leaves a torn checkpoint
+
+
+def restore_key(obj):
+    """Rehydrate a PRNG key serialized by save_train_state."""
+    if isinstance(obj, dict) and "__prng_key_data__" in obj:
+        return jax.random.wrap_key_data(jnp.asarray(obj["__prng_key_data__"]))
+    return jnp.asarray(obj)
 
 
 def load_train_state(path: str) -> Any:

@@ -70,6 +70,22 @@ def make_dp_adam_update(config: cnn.CNNConfig, mesh: Mesh, lr: float = 1e-3):
     return update_fn, tx.init
 
 
+def make_dp_pipeline(pipeline_config, mesh: Mesh):
+    """Mesh-sharded fused inference pipeline: batch dim split over "data",
+    params replicated — the serving-scale fan-out of pipeline.fused."""
+    import functools as _ft
+
+    from cadx_tpu.pipeline import fused
+
+    ds, repl = data_sharding(mesh), replicated(mesh)
+
+    @_ft.partial(jax.jit, in_shardings=(repl, ds), out_shardings=ds)
+    def run(params, batch_u8):
+        return fused.run_pipeline(params, batch_u8, pipeline_config)
+
+    return run
+
+
 def make_dp_eval(config: cnn.CNNConfig, mesh: Mesh):
     """Mesh-sharded batched argmax prediction."""
     ds, repl = data_sharding(mesh), replicated(mesh)

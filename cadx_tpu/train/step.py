@@ -122,12 +122,18 @@ def fit(
     restore_best: bool = True,
     log_fn: Callable[[str], None] | None = None,
     checkpoint_path: str | None = None,
+    state_path: str | None = None,     # full train-state checkpoint (resume)
+    resume: bool = False,
     update_fn=None,                    # override: (params, opt_state, xb, yb, mb, lr, rng) -> (params, opt_state, loss)
 ) -> FitResult:
     """Train with the reference loop semantics, one XLA program per batch.
 
     update_fn lets the data-parallel wrapper substitute a mesh-sharded
-    step without duplicating the loop.
+    step without duplicating the loop. With state_path set, a full
+    training state (params + optimizer state + epoch + history + rng) is
+    checkpointed atomically after every epoch; resume=True continues from
+    it — capabilities the reference lacks entirely (SURVEY.md section 5,
+    checkpoint/resume row: best-weights-only, no optimizer state, no step).
     """
     X = np.asarray(X, dtype=np.float32)
     y_onehot = np.asarray(y_onehot, dtype=np.float32)
@@ -144,9 +150,31 @@ def fit(
     history: list[dict] = []
     epoch_accuracy: list[float] = []
     cur_lr = lr
+    start_epoch = 0
     t0 = time.time()
 
-    for epoch in range(epochs):
+    if resume and state_path:
+        import os
+
+        from cadx_tpu import checkpoint as ckpt_mod
+
+        if os.path.exists(state_path):
+            st = ckpt_mod.load_train_state(state_path)
+            params = jax.tree_util.tree_map(jnp.asarray, st["params"])
+            if st.get("opt_state") is not None and opt_state is not None:
+                opt_state = jax.tree_util.tree_map(jnp.asarray, st["opt_state"])
+            best_acc = st["best_acc"]
+            best_params = st["best_params"]
+            history = list(st["history"])
+            epoch_accuracy = list(st["epoch_accuracy"])
+            cur_lr = st["lr"]
+            start_epoch = st["epoch"]
+            host_rng = np.random.default_rng()
+            host_rng.bit_generator.state = st["host_rng_state"]
+            dropout_key = ckpt_mod.restore_key(st["dropout_key"])
+            log(f"[RESUME] from {state_path} at epoch {start_epoch}")
+
+    for epoch in range(start_epoch, epochs):
         perm = host_rng.permutation(n)
         Xs, ys = X[perm], y_onehot[perm]
         total_loss = 0.0
@@ -192,6 +220,22 @@ def fit(
                 ckpt.save_npz(params, config, checkpoint_path)
         if optimizer == "sgd":
             cur_lr *= lr_decay
+
+        if state_path:
+            from cadx_tpu import checkpoint as ckpt_mod
+
+            ckpt_mod.save_train_state(state_path, {
+                "params": params,
+                "opt_state": opt_state,
+                "best_acc": best_acc,
+                "best_params": best_params,
+                "history": history,
+                "epoch_accuracy": epoch_accuracy,
+                "lr": cur_lr,
+                "epoch": epoch + 1,
+                "host_rng_state": host_rng.bit_generator.state,
+                "dropout_key": dropout_key,
+            })
 
     if restore_best and best_params is not None:
         params = jax.tree_util.tree_map(jnp.asarray, best_params)
