@@ -188,11 +188,35 @@ class CADxApp:
             if f.startswith(prefix) and f.endswith(".png"))
         if not masks:
             return {"error": f"No segmentation masks found for {base}", "status": 404}
+        # expose masks under /static for the gallery page (app.py:429-436)
+        static_seg = os.path.join(self.ws.root, "static", "segmentation_image")
+        os.makedirs(static_seg, exist_ok=True)
+        for m in masks:
+            src = os.path.join(self.ws.folder("segmentation"), m)
+            dst = os.path.join(static_seg, m)
+            if not os.path.exists(dst):
+                import shutil
+
+                shutil.copy2(src, dst)
         return {
             "masks": masks,
             "metadata": {"image_name": base + ".png", "modality": "Mammogram",
                          "body_part": "Breast"},
         }
+
+    def copy_image_to_static(self) -> str:
+        """Reference copy_image_to_static (app.py:196-212)."""
+        cases = self.ws.read_cases()
+        if not cases:
+            return ""
+        image_path = cases[0]["dicom_file_path"]
+        name = os.path.basename(image_path)
+        dst = os.path.join(self.ws.folder("images"), name)
+        if not os.path.exists(dst) and os.path.exists(image_path):
+            import shutil
+
+            shutil.copyfile(image_path, dst)
+        return name
 
     # ---------------- classify / roi (app.py:492-764) ----------------
     def _load_features(self):
@@ -214,6 +238,7 @@ class CADxApp:
         result["sample"] = 1
 
         # async Grad-CAM artifacts, tracked (reference thread at app.py:649)
+        self.copy_image_to_static()
         cases = self.ws.read_cases()
         clean_path = cases[0]["clean_image_path"] if cases else None
         if clean_path and os.path.exists(clean_path):
@@ -296,6 +321,9 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     # -- helpers ------------------------------------------------------------
+    def _wants_html(self) -> bool:
+        return "text/html" in self.headers.get("Accept", "")
+
     def _send_json(self, obj, status: int = 200, cookie: str | None = None):
         body = json.dumps(obj).encode()
         self.send_response(status)
@@ -305,6 +333,44 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Set-Cookie", cookie)
         self.end_headers()
         self.wfile.write(body)
+
+    def _send_html(self, markup: str, status: int = 200,
+                   cookie: str | None = None):
+        body = markup.encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        if cookie:
+            self.send_header("Set-Cookie", cookie)
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _respond(self, obj, render, status: int = 200, cookie: str | None = None):
+        """Content negotiation: browsers get HTML, API callers JSON."""
+        if self._wants_html() and "error" not in obj:
+            self._send_html(render(obj), status, cookie)
+        else:
+            self._send_json(obj, status, cookie)
+
+    def _send_static(self, rel_path: str):
+        import mimetypes
+
+        safe = os.path.normpath(rel_path).lstrip("/")
+        if safe.startswith(".."):
+            self._send_json({"error": "forbidden"}, 403)
+            return
+        full = os.path.join(self.app.ws.root, "static", safe)
+        if not os.path.isfile(full):
+            self._send_json({"error": "not found"}, 404)
+            return
+        ctype = mimetypes.guess_type(full)[0] or "application/octet-stream"
+        with open(full, "rb") as f:
+            data = f.read()
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
 
     def _redirect(self, location: str):
         self.send_response(302)
@@ -327,31 +393,42 @@ class _Handler(BaseHTTPRequestHandler):
         route = parsed.path.rstrip("/") or "/"
         app = self.app
 
+        from cadx_tpu.serve import templates as T
+
         if route == "/":
-            self._send_json({"page": "landing",
-                             "pipelines": ["basic", "advanced"],
-                             "next": "/home?pipeline=basic|advanced"})
+            self._respond({"page": "landing",
+                           "pipelines": ["basic", "advanced"],
+                           "next": "/home?pipeline=basic|advanced"},
+                          lambda o: T.landing())
         elif route == "/home":
             pipeline = query.get("pipeline", ["basic"])[0]
-            self._send_json({"page": "home", "pipeline": pipeline},
-                            cookie=f"cadx-pipeline={pipeline}; Path=/")
+            self._respond({"page": "home", "pipeline": pipeline},
+                          lambda o: T.home(o["pipeline"]),
+                          cookie=f"cadx-pipeline={pipeline}; Path=/")
         elif route == "/diagnosis":
-            self._send_json({"cases": app.diagnosis()})
+            self._respond({"cases": app.diagnosis()},
+                          lambda o: T.diagnosis(o["cases"]))
         elif route.startswith("/view/"):
-            self._send_json(app.view_image(route.split("/view/", 1)[1]))
+            self._respond(app.view_image(route.split("/view/", 1)[1]), T.view_image)
         elif route == "/view_segmentation":
             out = app.view_segmentation()
-            self._send_json(out, status=out.pop("status", 200) if "error" in out else 200)
+            self._respond(out, T.view_segmentation,
+                          status=out.pop("status", 200) if "error" in out else 200)
         elif route == "/classify":
             out = app.classify(self._pipeline(query))
-            self._send_json(out, status=out.pop("status", 200) if "error" in out else 200)
+            self._respond(out, T.classification,
+                          status=out.pop("status", 200) if "error" in out else 200)
         elif route == "/roi":
             out = app.roi(self._pipeline(query))
-            self._send_json(out, status=out.pop("status", 200) if "error" in out else 200)
+            self._respond(out, T.roi,
+                          status=out.pop("status", 200) if "error" in out else 200)
         elif route == "/bulk-select-parameters":
-            self._send_json({"images": app.bulk_images()})
+            self._respond({"images": app.bulk_images()},
+                          lambda o: T.bulk_select(o["images"]))
         elif route == "/sample":
-            self._send_json({"page": "sample"})
+            self._respond({"page": "sample"}, lambda o: T.sample())
+        elif route.startswith("/static/"):
+            self._send_static(route[len("/static/"):])
         else:
             self._send_json({"error": "not found"}, 404)
 

@@ -179,3 +179,52 @@ def test_error_paths(server):
     srv.app.ws.clear_folder("segmentation")
     status, body = _get(base + "/classify", expect_status=404)
     assert status == 404 and "No .npy" in body["error"]
+
+
+def test_html_rendering_and_static(server):
+    """Browsers (Accept: text/html) get rendered pages; /static serves
+    artifacts; API callers still get JSON."""
+    base, srv = server
+    # re-upload so a case exists regardless of test order
+    _post_multipart(base + "/upload-single",
+                    {"body_part1": "L", "modality1": "MG"},
+                    {"image1": ("case_html.png", _mammo_png(seed=5))})
+
+    def get_html(path):
+        req = urllib.request.Request(base + path, headers={"Accept": "text/html"})
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read().decode(), r.headers.get("Content-Type", "")
+
+    for path, marker in [("/", "Basic pipeline"), ("/home", "Upload mammogram"),
+                         ("/diagnosis", "Diagnosis cases"),
+                         ("/view_segmentation", "Segmentation masks"),
+                         ("/classify", "Classification"),
+                         ("/roi", "Region of interest"),
+                         ("/bulk-select-parameters", "Bulk images"),
+                         ("/sample", "Sample")]:
+        status, html_body, ctype = get_html(path)
+        assert status == 200 and "text/html" in ctype, path
+        assert marker in html_body, path
+        assert "<html>" in html_body
+
+    # JSON is still the default without the Accept header
+    status, body = _get(base + "/diagnosis")
+    assert "cases" in body
+
+    # static mask PNG served (copied by view_segmentation)
+    status, html_body, _ = get_html("/view_segmentation")
+    import re
+    m = re.search(r"/static/segmentation_image/([\w.]+\.png)", html_body)
+    assert m, "gallery should reference static masks"
+    with urllib.request.urlopen(base + m.group(0)) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "image/png"
+        assert r.read()[:4] == b"\x89PNG"
+
+    # path traversal blocked
+    try:
+        urllib.request.urlopen(base + "/static/../Uploads/prediction_data.csv")
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code in (403, 404)
+    assert raised
