@@ -81,6 +81,16 @@ def main():
         lat.append(time.perf_counter() - t1)
     p50 = float(np.median(lat))
     imgs_per_sec = batch / per_batch
+
+    # p50 single-IMAGE serving latency
+    x1 = jax.device_put(jnp.asarray(host_batch[:1]))
+    float(fused.run_pipeline_checksum(params, x1, config))  # compile
+    lat1 = []
+    for _ in range(5):
+        t1 = time.perf_counter()
+        float(fused.run_pipeline_checksum(params, x1, config))
+        lat1.append(time.perf_counter() - t1)
+    p50_single = float(np.median(lat1))
     target = 1000.0
     print(json.dumps({
         "metric": "images/sec/chip end-to-end (preproc+seg+classify+Grad-CAM) at 256x256",
@@ -88,6 +98,7 @@ def main():
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec / target, 3),
         "p50_latency_ms_batch128": round(p50 * 1000, 2),
+        "p50_latency_ms_single_image": round(p50_single * 1000, 2),
         "batch": batch,
     }))
 
