@@ -109,3 +109,25 @@ def restore_key(obj):
 def load_train_state(path: str) -> Any:
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Orbax-backed checkpoints (multi-host-safe, async-capable)
+# ---------------------------------------------------------------------------
+
+def save_orbax(path: str, tree: Any) -> None:
+    """Persist a pytree with Orbax (production checkpointing: atomic
+    directory commit, multi-host coordination)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), tree, force=True)
+
+
+def load_orbax(path: str, like: Any | None = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        if like is not None:
+            return ckptr.restore(os.path.abspath(path), like)
+        return ckptr.restore(os.path.abspath(path))

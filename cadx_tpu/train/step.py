@@ -99,6 +99,35 @@ def predict_classes(params, X, config, batch_size: int = 64) -> np.ndarray:
     return np.concatenate(out) if out else np.zeros((0,), np.int64)
 
 
+def weight_stats(params) -> list[str]:
+    """Per-layer weight statistics lines (reference weight_stats,
+    Classes/CNNModel.py:479-487)."""
+    lines = []
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    for path, leaf in flat:
+        name = jax.tree_util.keystr(path)
+        if "kernel" not in name:
+            continue
+        w = np.asarray(leaf)
+        lines.append(
+            f"Layer {name}: mean={w.mean():.4e}, std={w.std():.4e}, "
+            f"max={w.max():.4e}, min={w.min():.4e}")
+    return lines
+
+
+def grad_stats(grads) -> list[str]:
+    """Gradient statistics lines (reference log_gradients,
+    Classes/CNNModel.py:516-520)."""
+    lines = []
+    flat, _ = jax.tree_util.tree_flatten_with_path(grads)
+    for path, leaf in flat:
+        g = np.asarray(leaf)
+        lines.append(
+            f"{jax.tree_util.keystr(path)}: mean={g.mean():.2e}, "
+            f"std={g.std():.2e}, min={g.min():.2e}, max={g.max():.2e}")
+    return lines
+
+
 @dataclasses.dataclass
 class FitResult:
     params: Any
@@ -124,6 +153,8 @@ def fit(
     checkpoint_path: str | None = None,
     state_path: str | None = None,     # full train-state checkpoint (resume)
     resume: bool = False,
+    eval_every_batch: bool = False,    # reference evaluates test set per batch
+    log_weight_stats: bool = False,    # reference per-layer stats per epoch
     update_fn=None,                    # override: (params, opt_state, xb, yb, mb, lr, rng) -> (params, opt_state, loss)
 ) -> FitResult:
     """Train with the reference loop semantics, one XLA program per batch.
@@ -204,12 +235,23 @@ def fit(
                     jnp.float32(cur_lr), sub, config,
                 )
             total_loss += float(loss) * nb
+            if eval_every_batch:
+                # reference: full test-set eval after every batch
+                # (CNNM.py:537 — a major reason its training was slow;
+                # off by default here)
+                acc = evaluate(params, X_test, y_test_labels, config)
+                log(f"[EPOCH {epoch+1}/{epochs}, BATCH {i//batch_size+1}] "
+                    f"BatchLoss={float(loss):.4f}  Accuracy={acc:.4f}")
 
         avg_loss = total_loss / n
         val_acc = evaluate(params, X_test, y_test_labels, config)
         epoch_accuracy.append(val_acc)
         history.append({"epoch": epoch + 1, "loss": avg_loss, "val_acc": val_acc})
         log(f"[EPOCH {epoch+1}/{epochs}] Loss={avg_loss:.4f}, ValAcc={val_acc:.4f}")
+        if log_weight_stats:
+            log("[Weight Stats] per layer:")
+            for line in weight_stats(params):
+                log("    " + line)
 
         if val_acc > best_acc:
             best_acc = val_acc
