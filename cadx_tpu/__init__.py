@@ -10,4 +10,27 @@ meshes, functional transforms, static shapes, Pallas kernels for hot ops).
 
 __version__ = "0.1.0"
 
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (remote TPU compiles here run
+    20-300s; cached reloads take seconds). Opt out: CADX_NO_COMPILE_CACHE=1;
+    relocate: CADX_COMPILE_CACHE=<dir>."""
+    import os
+
+    if os.environ.get("CADX_NO_COMPILE_CACHE") == "1":
+        return
+    cache = os.environ.get(
+        "CADX_COMPILE_CACHE", os.path.expanduser("~/.cache/cadx_tpu/jax"))
+    try:
+        import jax
+
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
+
 from cadx_tpu.models.cnn import CNNConfig  # noqa: F401

@@ -179,3 +179,15 @@ def test_explainable_ai(rng):
     assert overlay.shape == (32, 32, 3) and overlay.dtype == np.uint8
     sal = xai.generate_heatmap(img, class_idx=0, method="saliency")
     assert sal.shape == (16, 16)
+
+
+def test_load_dicom_demo(tmp_path, rng, capsys):
+    from cadx_tpu.compat.load import load_dicom
+
+    img = rng.integers(0, 4096, (16, 16), dtype=np.uint16)
+    p = str(tmp_path / "demo.dcm")
+    dicom.dcmwrite_minimal(p, img, patient_id="DEMO1")
+    ds = load_dicom(p, show=False)
+    out = capsys.readouterr().out
+    assert "DEMO1" in out and "Pixel array" in out
+    np.testing.assert_array_equal(ds.pixel_array, img)
