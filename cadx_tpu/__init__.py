@@ -19,6 +19,12 @@ def _enable_compilation_cache() -> None:
 
     if os.environ.get("CADX_NO_COMPILE_CACHE") == "1":
         return
+    # Only cache for TPU backends: XLA:CPU AOT caching is brittle across
+    # host-feature detection differences (SIGILL warnings), and CPU
+    # compiles are fast anyway.
+    if "tpu" not in os.environ.get("JAX_PLATFORMS", "axon").lower() and \
+            "axon" not in os.environ.get("JAX_PLATFORMS", "axon").lower():
+        return
     cache = os.environ.get(
         "CADX_COMPILE_CACHE", os.path.expanduser("~/.cache/cadx_tpu/jax"))
     try:

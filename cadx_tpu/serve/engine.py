@@ -129,13 +129,27 @@ class InferenceEngine:
         """One sample -> result dict shaped like the reference's results
         rows (app.py:555-564 / :597-606)."""
         if pipeline == "basic":
-            pre = self.process_bottleneck_features(features)
-            cls_idx, probs = self._predict_basic(jnp.asarray(pre))
+            feats_in = jnp.asarray(self.process_bottleneck_features(features))
+            cls_idx, probs = self._predict_basic(feats_in)
+            params, cfg = self.basic_params, self.config.basic_classifier
         else:
-            f = self._to_hwc(np.asarray(features, np.float32))
-            cls_idx, probs = self._predict_advanced(jnp.asarray(f))
+            feats_in = jnp.asarray(self._to_hwc(np.asarray(features, np.float32)))
+            cls_idx, probs = self._predict_advanced(feats_in)
+            params, cfg = self.advanced_params, self.config.advanced_classifier
         cls_idx = int(cls_idx)
         probs = np.asarray(probs)
+
+        # real ROI from the predicted class's CAM (the reference hardcodes
+        # roiCoords, app.py:563)
+        try:
+            from cadx_tpu.xai.gradcam import gradcam_map
+            from cadx_tpu.xai.roi import roi_coords_dict
+
+            cam = gradcam_map(params, feats_in, cls_idx, cfg)
+            roi = roi_coords_dict(cam)
+        except Exception:  # noqa: BLE001 — ROI is auxiliary, never fatal
+            roi = {"top": 0.20, "left": 0.30, "width": 0.40, "height": 0.35}
+
         return {
             "prediction_probabilities": probs.tolist(),
             "predicted_class": CLASS_MAP[cls_idx],
@@ -144,7 +158,7 @@ class InferenceEngine:
             "confidence": 76,
             "diagnosis": CLASS_MAP[cls_idx],
             "explainability": 0.5,
-            "roiCoords": {"top": 0.20, "left": 0.30, "width": 0.40, "height": 0.35},
+            "roiCoords": roi,
         }
 
     @functools.cached_property
