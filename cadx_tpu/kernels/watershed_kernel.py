@@ -45,14 +45,14 @@ def _watershed_kernel(img_ref, markers_ref, labels_ref, boundary_ref, *,
     labels0 = markers_ref[0]
     dist0 = jnp.where(labels0 > 0, 0.0, _BIG)
 
-    costs = tuple(
-        jnp.abs(img - _shift(img, dy, dx, 0.0)) + 1e-3 for dy, dx in _SHIFTS
-    )
-
     def body(state):
         labels, dist, stable, it = state
         best_d, best_l = dist, labels
-        for (dy, dx), cost in zip(_SHIFTS, costs):
+        for dy, dx in _SHIFTS:
+            # recompute the edge cost per direction instead of holding 4
+            # persistent cost planes — keeps 512x512 inside the 16MB VMEM
+            # budget (extra shifts are cheap VPU work)
+            cost = jnp.abs(img - _shift(img, dy, dx, 0.0)) + 1e-3
             nd = _shift(dist, dy, dx, _BIG)
             nl = _shift(labels, dy, dx, 0)
             cand = nd + cost

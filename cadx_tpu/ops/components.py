@@ -103,10 +103,12 @@ def _label_bits(h: int, w: int) -> int:
     return int(np.ceil(np.log2(h * w + 1)))
 
 
-def _use_pallas(h: int, w: int) -> bool:
+def _use_pallas(h: int, w: int, planes: int = 10) -> bool:
     """Dispatch to the VMEM-resident Pallas kernels on TPU for images big
-    enough to tile cleanly (bit-identical results, ~8x faster on hard
-    masks). CADX_DISABLE_PALLAS=1 forces the XLA path."""
+    enough to tile cleanly yet small enough to fit the whole relaxation
+    in VMEM (~16MB/core budget; `planes` = concurrent full-image int32/f32
+    buffers the kernel holds incl. loop temporaries). Bit-identical
+    results either way. CADX_DISABLE_PALLAS=1 forces the XLA path."""
     import os
 
     if os.environ.get("CADX_DISABLE_PALLAS") == "1":
@@ -114,7 +116,10 @@ def _use_pallas(h: int, w: int) -> bool:
     if jax.default_backend() != "tpu":
         return False
     seg_bits = int(np.ceil(np.log2(max(h, w) + 2)))
-    return min(h, w) >= 128 and _label_bits(h, w) + seg_bits <= 30
+    if _label_bits(h, w) + seg_bits > 30:
+        return False
+    vmem_bytes = h * w * 4 * planes
+    return min(h, w) >= 128 and vmem_bytes <= 14 * 1024 * 1024
 
 
 def _label_core(mask: jax.Array, connectivity: int, max_iters: int,
