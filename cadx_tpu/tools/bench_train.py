@@ -1,0 +1,103 @@
+"""Training-time benchmark vs the reference's published wall-clocks.
+
+Reference numbers (BASELINE.md): the torch "advanced" run — 60 epochs,
+batch 32, 220/25 split on (256,256,64) encoder features — took 16m21s on
+CPU; the pure-NumPy "basic" run took 91h30m for 20 epochs. This script
+runs the SAME training configurations on one TPU chip (synthetic data of
+identical shapes — CBIS-DDSM itself isn't redistributable).
+
+The advanced config measures warmup (compile + data upload) separately
+from steady-state epochs and reports both the measured short run and the
+projected full 60-epoch wall-clock.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from cadx_tpu.models import cnn
+    from cadx_tpu.train import step
+
+    rng = np.random.default_rng(0)
+
+    def synth(n, shape):
+        y = rng.integers(0, 2, n)
+        X = rng.normal(0, 1, (n,) + shape).astype(np.float32) * 0.1
+        X[y == 1, 8:24, 8:24, :] += 0.8
+        return X, y
+
+    results = {}
+
+    # --- advanced config (training_summary_advanced.json:31-35) ---
+    cfg_adv = cnn.CNNConfig(
+        input_shape=(256, 256, 64), num_classes=2,
+        conv_layers=((32, 3), (64, 3)), hidden_units=(256, 128),
+        dropout_rate=0.1, conv_padding="SAME",
+    )
+    Xtr, ytr = synth(220, cfg_adv.input_shape)
+    Xte, yte = synth(25, cfg_adv.input_shape)
+    params = cnn.init_params(jax.random.key(0), cfg_adv)
+
+    # bf16 device storage for the 3.7GB synthetic feature set (compute
+    # stays f32): the tunnel's ~0.13GB/s H2D makes per-batch streaming
+    # infeasible and full-f32 residency overflows HBM next to the
+    # 67M-param Adam state.
+    epoch_times = []
+    t0 = time.time()
+
+    def log(msg):
+        epoch_times.append(time.time())
+
+    n_epochs = 12
+    step.fit(params, cfg_adv, Xtr, np.eye(2)[ytr], Xte, yte,
+             epochs=n_epochs, lr=1e-3, batch_size=32, optimizer="adam",
+             device_data=True, device_data_dtype=jnp.bfloat16, log_fn=log)
+    measured = time.time() - t0
+    # compiles trickle in across the first few epochs; steady state is the
+    # median of the tail
+    diffs = np.diff(epoch_times)
+    steady = float(np.median(diffs[len(diffs) // 2:])) if len(diffs) > 1 else measured
+    warmup = measured - steady * (n_epochs - 1)
+    projected_60 = warmup + 59 * steady
+    ref_adv = 16 * 60 + 21
+    results["advanced"] = {
+        "measured_epochs": n_epochs,
+        "measured_secs": round(measured, 1),
+        "warmup_secs_incl_compile": round(warmup, 1),
+        "steady_secs_per_epoch": round(steady, 2),
+        "projected_60epoch_secs": round(projected_60, 1),
+        "reference_cpu_secs": ref_adv,
+        "speedup_steady_state": round(ref_adv / (60 * steady), 1),
+    }
+
+    # --- basic config (training_summary_basic.json: 20 epochs, (32,32,64)) ---
+    cfg_basic = cnn.CNNConfig(
+        input_shape=(32, 32, 64), num_classes=2,
+        conv_layers=((128, 3), (64, 3)), hidden_units=(256, 128),
+        dropout_rate=0.3,
+    )
+    Xtr, ytr = synth(196, cfg_basic.input_shape)
+    Xte, yte = synth(49, cfg_basic.input_shape)
+    params = cnn.init_params(jax.random.key(1), cfg_basic)
+    t0 = time.time()
+    step.fit(params, cfg_basic, Xtr, np.eye(2)[ytr], Xte, yte,
+             epochs=20, lr=0.01, batch_size=8, optimizer="sgd")
+    basic_secs = time.time() - t0
+    ref_basic = 91 * 3600 + 25 * 60 + 30
+    results["basic"] = {
+        "measured_20epoch_secs": round(basic_secs, 1),
+        "reference_cpu_secs": ref_basic,
+        "speedup": round(ref_basic / basic_secs, 1),
+    }
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

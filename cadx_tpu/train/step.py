@@ -45,9 +45,14 @@ def masked_loss_fn(params, x, y_onehot, mask, config, *, training, rng):
     return jnp.sum(per_sample * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "training"))
+@functools.partial(jax.jit, static_argnames=("config", "training"),
+                   donate_argnums=(0,))
 def sgd_train_step(params, x, y_onehot, mask, lr, rng, config, training=True):
-    """One basic-pipeline update: grads -> per-tensor clip(5.0) -> SGD."""
+    """One basic-pipeline update: grads -> per-tensor clip(5.0) -> SGD.
+
+    `params` is DONATED on TPU (halves peak parameter memory): rebind the
+    result and do not reuse the input pytree after the call.
+    """
     loss, grads = jax.value_and_grad(masked_loss_fn)(
         params, x, y_onehot, mask, config, training=training, rng=rng
     )
@@ -58,7 +63,7 @@ def sgd_train_step(params, x, y_onehot, mask, lr, rng, config, training=True):
 def make_adam_train_step(config: cnn.CNNConfig, tx: optax.GradientTransformation):
     """Advanced-pipeline update: Adam on softmax cross-entropy logits."""
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, x, y_onehot, mask, rng):
         loss, grads = jax.value_and_grad(masked_loss_fn)(
             params, x, y_onehot, mask, config, training=True, rng=rng
@@ -155,6 +160,9 @@ def fit(
     resume: bool = False,
     eval_every_batch: bool = False,    # reference evaluates test set per batch
     log_weight_stats: bool = False,    # reference per-layer stats per epoch
+    device_data: bool | None = None,   # keep the dataset device-resident
+    device_data_dtype=None,            # e.g. jnp.bfloat16: compressed device
+                                       # storage (compute stays f32)
     update_fn=None,                    # override: (params, opt_state, xb, yb, mb, lr, rng) -> (params, opt_state, loss)
 ) -> FitResult:
     """Train with the reference loop semantics, one XLA program per batch.
@@ -172,6 +180,42 @@ def fit(
     host_rng = np.random.default_rng(seed)
     dropout_key = jax.random.key(seed)
     log = log_fn or (lambda s: None)
+
+    # Device-resident data: transfer the dataset once and gather batches
+    # on device. Per-batch host->device copies dominate wall time on
+    # remote/tunneled runtimes (e.g. the advanced config moves 536MB per
+    # batch otherwise). Auto-on below 4GB.
+    if device_data is None:
+        device_data = X.nbytes + y_onehot.nbytes < 4 * 1024**3
+    if device_data:
+        store_dtype = device_data_dtype or jnp.float32
+        X_dev = jax.device_put(X.astype(store_dtype))
+        y_dev = jax.device_put(y_onehot)
+
+        @jax.jit
+        def gather_batch(xd, yd, idx):
+            xb = jnp.take(xd, idx, axis=0).astype(jnp.float32)
+            return xb, jnp.take(yd, idx, axis=0)
+
+    # test set: transfer once, evaluate from device every epoch
+    Xte_np = np.asarray(X_test, dtype=np.float32)
+    yte_np = np.asarray(y_test_labels)
+    eval_bs = min(64, max(len(Xte_np), 1))
+    eval_batches = []
+    for i in range(0, len(Xte_np), eval_bs):
+        xb = Xte_np[i : i + eval_bs]
+        padb = eval_bs - len(xb)
+        if padb:
+            xb = np.concatenate([xb, np.zeros((padb,) + xb.shape[1:], xb.dtype)])
+        eval_batches.append((jax.device_put(jnp.asarray(xb)), eval_bs - padb))
+
+    def eval_acc(p) -> float:
+        preds = []
+        for xb, valid in eval_batches:
+            preds.append(np.asarray(eval_step(p, xb, config))[:valid])
+        if not preds:
+            return 0.0
+        return float(np.mean(np.concatenate(preds) == yte_np))
 
     tx = optim.adam(lr) if optimizer == "adam" else None
     opt_state = tx.init(params) if tx is not None else None
@@ -207,44 +251,56 @@ def fit(
 
     for epoch in range(start_epoch, epochs):
         perm = host_rng.permutation(n)
-        Xs, ys = X[perm], y_onehot[perm]
-        total_loss = 0.0
+        if not device_data:
+            Xs, ys = X[perm], y_onehot[perm]
+        batch_losses: list = []
+        batch_weights: list[float] = []
         for i in range(0, n, batch_size):
-            xb, yb = Xs[i : i + batch_size], ys[i : i + batch_size]
-            nb = len(xb)
+            nb = min(batch_size, n - i)
             pad = batch_size - nb
-            if pad:
-                xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
-                yb = np.concatenate([yb, np.zeros((pad,) + yb.shape[1:], yb.dtype)])
+            if device_data:
+                idx = np.zeros((batch_size,), np.int32)
+                idx[:nb] = perm[i : i + nb]
+                xb, yb = gather_batch(X_dev, y_dev, jnp.asarray(idx))
+            else:
+                xb, yb = Xs[i : i + batch_size], ys[i : i + batch_size]
+                if pad:
+                    xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
+                    yb = np.concatenate([yb, np.zeros((pad,) + yb.shape[1:], yb.dtype)])
+                xb, yb = jnp.asarray(xb), jnp.asarray(yb)
             mb = np.zeros((batch_size,), np.float32)
             mb[:nb] = 1.0
             dropout_key, sub = jax.random.split(dropout_key)
             if update_fn is not None:
                 params, opt_state, loss = update_fn(
-                    params, opt_state, jnp.asarray(xb), jnp.asarray(yb),
+                    params, opt_state, xb, yb,
                     jnp.asarray(mb), jnp.float32(cur_lr), sub,
                 )
             elif tx is not None:
                 params, opt_state, loss = adam_step(
-                    params, opt_state, jnp.asarray(xb), jnp.asarray(yb),
-                    jnp.asarray(mb), sub,
+                    params, opt_state, xb, yb, jnp.asarray(mb), sub,
                 )
             else:
                 params, loss = sgd_train_step(
-                    params, jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(mb),
+                    params, xb, yb, jnp.asarray(mb),
                     jnp.float32(cur_lr), sub, config,
                 )
-            total_loss += float(loss) * nb
+            # keep losses on device; one fetch per epoch (host round trips
+            # cost ~30ms each on tunneled runtimes)
+            batch_losses.append(loss)
+            batch_weights.append(float(nb))
             if eval_every_batch:
                 # reference: full test-set eval after every batch
                 # (CNNM.py:537 — a major reason its training was slow;
                 # off by default here)
-                acc = evaluate(params, X_test, y_test_labels, config)
+                acc = eval_acc(params)
                 log(f"[EPOCH {epoch+1}/{epochs}, BATCH {i//batch_size+1}] "
                     f"BatchLoss={float(loss):.4f}  Accuracy={acc:.4f}")
 
-        avg_loss = total_loss / n
-        val_acc = evaluate(params, X_test, y_test_labels, config)
+        avg_loss = float(
+            jnp.stack(batch_losses) @ jnp.asarray(batch_weights, jnp.float32)
+        ) / n
+        val_acc = eval_acc(params)
         epoch_accuracy.append(val_acc)
         history.append({"epoch": epoch + 1, "loss": avg_loss, "val_acc": val_acc})
         log(f"[EPOCH {epoch+1}/{epochs}] Loss={avg_loss:.4f}, ValAcc={val_acc:.4f}")
@@ -255,7 +311,10 @@ def fit(
 
         if val_acc > best_acc:
             best_acc = val_acc
-            best_params = jax.tree_util.tree_map(np.asarray, params)
+            # device-side copy: a host snapshot would D2H the full
+            # parameter set every improving epoch (brutal on tunneled
+            # runtimes); only state_path checkpointing pays that cost
+            best_params = jax.tree_util.tree_map(jnp.array, params)
             if checkpoint_path:
                 from cadx_tpu import checkpoint as ckpt
 

@@ -46,12 +46,13 @@ def test_dp_sgd_matches_single_device(rng):
     lr = jnp.float32(0.05)
     key = jax.random.key(1)
 
+    # sgd_train_step donates its params arg — pass copies to keep `params`
     single, _ = step.sgd_train_step(
-        params, jnp.asarray(X), jnp.asarray(yb), mask, lr, key, CFG, training=False
+        jax.tree_util.tree_map(jnp.array, params),
+        jnp.asarray(X), jnp.asarray(yb), mask, lr, key, CFG, training=False
     )
     # dropout_rate=0 so rng path identical; training=True==False here
     update = dp.make_dp_sgd_update(CFG, mesh)
-    import copy
     sharded, _, _ = update(
         jax.tree_util.tree_map(jnp.array, params), None,
         jnp.asarray(X), jnp.asarray(yb), mask, lr, key,
