@@ -1,0 +1,135 @@
+"""Fuzz/property tests for the irregular on-device algorithms.
+
+The CC/flood/watershed rewrites are the framework's riskiest parity
+surface; these tests sweep adversarial mask families (percolation noise
+at several densities, stripes, spirals, checkerboards, rings) against
+OpenCV ground truth, and assert algebraic invariants.
+"""
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cadx_tpu.ops import components as C
+from cadx_tpu.ops.histogram import equalize_hist
+from cadx_tpu.ops.morphology import closing, dilate, erode, opening
+
+
+def _mask_families(rng, hw=96):
+    yy, xx = np.mgrid[0:hw, 0:hw]
+    masks = {
+        "percolation_40": rng.random((hw, hw)) < 0.40,
+        "percolation_55": rng.random((hw, hw)) < 0.55,  # near threshold
+        "percolation_70": rng.random((hw, hw)) < 0.70,
+        "stripes": (yy % 7) < 3,
+        "checker": ((yy // 4 + xx // 4) % 2) == 0,
+        "ring": (((yy - hw / 2) ** 2 + (xx - hw / 2) ** 2) ** 0.5).astype(int) % 11 < 5,
+        "diag_maze": ((xx + yy) % 9 < 4) | ((xx - yy) % 13 < 3),
+        "empty": np.zeros((hw, hw), bool),
+        "full": np.ones((hw, hw), bool),
+        "single_pixel": np.zeros((hw, hw), bool),
+    }
+    masks["single_pixel"][50, 50] = True
+    return {k: np.asarray(v, bool) for k, v in masks.items()}
+
+
+def test_label_components_fuzz_vs_cv2(rng):
+    for name, mask in _mask_families(rng).items():
+        m8 = (mask * 255).astype(np.uint8)
+        for conn in (8, 4):
+            labels = np.asarray(C.label_components(jnp.asarray(mask), conn))
+            n_ref, lab_ref = cv2.connectedComponents(m8, connectivity=conn)
+            # same partition: component count and co-membership agree
+            ours_n = len(np.unique(labels[mask])) if mask.any() else 0
+            assert ours_n == n_ref - 1, (name, conn)
+            if mask.any():
+                # bijection check via joint labeling
+                pairs = set(zip(labels[mask].tolist(), lab_ref[mask].tolist()))
+                assert len(pairs) == ours_n, (name, conn)
+
+
+def test_largest_component_fuzz_vs_cv2(rng):
+    for name, mask in _mask_families(rng).items():
+        if not mask.any():
+            continue
+        m8 = (mask * 255).astype(np.uint8)
+        n, lab, stats, _ = cv2.connectedComponentsWithStats(m8, connectivity=8,
+                                                            ltype=cv2.CV_32S)
+        areas = stats[1:, 4]
+        ours = np.asarray(C.largest_component(jnp.asarray(mask)))
+        # cv2 argmax breaks area ties by label order; accept any true-max
+        assert ours.sum() == areas.max(), name
+        ours_labels = np.unique(lab[ours])
+        assert len(ours_labels) == 1, name  # one single component selected
+
+
+def test_fill_holes_fuzz_and_idempotent(rng):
+    for name, mask in _mask_families(rng).items():
+        filled = np.asarray(C.fill_holes(jnp.asarray(mask)))
+        # superset of the input
+        assert (filled | mask).sum() == filled.sum(), name
+        # idempotent
+        filled2 = np.asarray(C.fill_holes(jnp.asarray(filled)))
+        np.testing.assert_array_equal(filled, filled2, err_msg=name)
+        # cv2 oracle: flood background from EVERY border background pixel
+        # (fill_holes semantics = background is anything border-connected)
+        if mask.any() and not mask.all():
+            h, w = mask.shape
+            ff = (mask * 255).astype(np.uint8)
+            flood_mask = np.zeros((h + 2, w + 2), np.uint8)
+            border_pts = (
+                [(0, y) for y in range(h)] + [(w - 1, y) for y in range(h)]
+                + [(x, 0) for x in range(w)] + [(x, h - 1) for x in range(w)]
+            )
+            for (px, py) in border_pts:
+                if ff[py, px] == 0:
+                    cv2.floodFill(ff, flood_mask, (px, py), 128)
+            ref = mask | (ff == 0)  # unreached background = holes
+            np.testing.assert_array_equal(filled, ref, err_msg=name)
+
+
+def test_morphology_algebra(rng):
+    img = (rng.random((64, 64)) * 255).astype(np.uint8)
+    # opening/closing idempotence
+    o1 = np.asarray(opening(jnp.asarray(img), 5))
+    o2 = np.asarray(opening(jnp.asarray(o1), 5))
+    np.testing.assert_array_equal(o1, o2)
+    c1 = np.asarray(closing(jnp.asarray(img), 5))
+    c2 = np.asarray(closing(jnp.asarray(c1), 5))
+    np.testing.assert_array_equal(c1, c2)
+    # erode <= img <= dilate, open <= img <= close
+    er = np.asarray(erode(jnp.asarray(img), 3))
+    di = np.asarray(dilate(jnp.asarray(img), 3))
+    assert (er <= img).all() and (img <= di).all()
+    assert (o1 <= img).all() and (img <= c1).all()
+
+
+def test_equalize_hist_properties(rng):
+    img = (rng.normal(120, 30, (64, 64))).clip(0, 255).astype(np.uint8)
+    eq = np.asarray(equalize_hist(jnp.asarray(img)))
+    # monotone: intensity ordering preserved
+    lut = np.zeros(256, np.int32)
+    for v in np.unique(img):
+        lut[v] = eq[img == v][0]
+        assert (eq[img == v] == lut[v]).all()
+    vals = np.unique(img)
+    assert (np.diff(lut[vals]) >= 0).all()
+    # extremes map toward the full range
+    assert eq.max() >= 250
+
+
+def test_cc_pallas_interpret_fuzz(rng):
+    """Pallas kernel == XLA path on the adversarial families (interpret
+    mode on CPU; compiled path covered on TPU drives)."""
+    from cadx_tpu.kernels.ccl import label_components_pallas
+
+    fams = _mask_families(rng, hw=128)
+    for name in ("percolation_55", "diag_maze", "ring"):
+        mask = fams[name]
+        ref = np.asarray(C._label_core(jnp.asarray(mask), 8, 128))
+        ours = np.asarray(label_components_pallas(
+            jnp.asarray(mask)[None], 8,
+            interpret=jax.default_backend() != "tpu"))[0]
+        np.testing.assert_array_equal(ref[mask], ours[mask], err_msg=name)

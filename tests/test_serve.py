@@ -228,3 +228,35 @@ def test_html_rendering_and_static(server):
     except urllib.error.HTTPError as e:
         raised = e.code in (403, 404)
     assert raised
+
+
+def test_concurrent_requests(server):
+    """Simultaneous classify/roi/diagnosis requests must not corrupt each
+    other (the reference's mutable pipeline_global + unjoined artifact
+    threads raced across requests; ours is per-request + tracked)."""
+    import concurrent.futures
+
+    base, srv = server
+    # ensure a case exists
+    _post_multipart(base + "/upload-single",
+                    {"body_part1": "L", "modality1": "MG"},
+                    {"image1": ("conc.png", _mammo_png(seed=9))})
+
+    paths = (["/classify?pipeline=basic", "/classify?pipeline=advanced",
+              "/diagnosis", "/roi?pipeline=basic", "/view_segmentation"] * 3)
+
+    def hit(path):
+        return _get(base + path)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(hit, paths))
+    for (status, body), path in zip(results, paths):
+        assert status == 200, (path, body)
+        if path.startswith("/classify"):
+            probs = body["classificationData"][0]["prediction_probabilities"]
+            assert abs(sum(probs) - 1.0) < 1e-4
+    # basic and advanced pipelines stayed distinct under concurrency
+    basic = [b for (s, b), p in zip(results, paths) if p == "/classify?pipeline=basic"]
+    adv = [b for (s, b), p in zip(results, paths) if p == "/classify?pipeline=advanced"]
+    assert all(b == basic[0] for b in basic)
+    assert all(a == adv[0] for a in adv)
