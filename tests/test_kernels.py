@@ -79,3 +79,75 @@ def test_dispatch_respects_backend():
     m = jnp.asarray(np.random.default_rng(0).random((128, 128)) > 0.5)
     out = C.label_components(m)  # would raise if it tried compiled pallas on cpu
     assert out.shape == (128, 128)
+
+
+def test_conv2d_leaky_pallas_matches_lax(rng):
+    from cadx_tpu.kernels import nn_kernels as nk
+    from cadx_tpu.ops.conv import conv2d_leaky
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 4)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(4) * 0.1, jnp.float32)
+    ref = conv2d_leaky(x, w, b, alpha=0.01, padding="VALID")
+    ours = nk.conv2d_leaky_pallas(x, w, b, 0.01, interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+def test_pool_upsample_bn_pallas_match_ops(rng):
+    from cadx_tpu.kernels import nn_kernels as nk
+    from cadx_tpu.models.unet import _bn_apply, _bn_params
+    from cadx_tpu.ops.pool import avg_pool, max_pool_ties, upsample_nearest
+
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 8)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(nk.max_pool_pallas(x, 2, interpret=INTERPRET)),
+        np.asarray(max_pool_ties(x, 2)))
+    np.testing.assert_allclose(
+        np.asarray(nk.avg_pool_pallas(x, 3, interpret=INTERPRET)),
+        np.asarray(avg_pool(x, 3)), atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(nk.upsample_nearest_pallas(x, 2, interpret=INTERPRET)),
+        np.asarray(upsample_nearest(x, 2)))
+
+    p = _bn_params(8)
+    p = {k: jnp.asarray(rng.standard_normal(8) * 0.3 + (1 if k in ("scale", "var") else 0),
+                        jnp.float32) for k in p}
+    p["var"] = jnp.abs(p["var"]) + 0.5
+    ref = _bn_apply(p, x)
+    ours = nk.batchnorm_pallas(x, p["scale"], p["bias"], p["mean"], p["var"],
+                               interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+def test_gradcam_tail_pallas_matches_pipeline(rng):
+    """The fused tail kernel == the pipeline's XLA gradcam tail."""
+    from cadx_tpu.kernels import nn_kernels as nk
+    from cadx_tpu.ops.colormap import apply_jet
+    from cadx_tpu.ops.resize import resize_linear
+
+    acts = jnp.asarray(np.abs(rng.standard_normal((2, 8, 8, 4))), jnp.float32)
+    grads = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
+    img01 = jnp.asarray(rng.random((2, 32, 32)), jnp.float32)
+
+    ov, heat = nk.gradcam_tail_pallas(acts, grads, img01, (32, 32),
+                                      interpret=INTERPRET)
+
+    # XLA reference (mirrors pipeline.fused._gradcam_tail math)
+    wgt = grads.mean(axis=(1, 2), keepdims=True)
+    cam = jax.nn.relu((wgt * acts).sum(-1))
+    lo = cam.min(axis=(1, 2), keepdims=True)
+    hi = cam.max(axis=(1, 2), keepdims=True)
+    cam = (cam - lo) / (hi - lo + 1e-7)
+    cam_up = jax.vmap(lambda c: resize_linear(c, (32, 32)))(cam)
+    heat_ref = (jnp.clip(cam_up, 0, 1) * 255).astype(jnp.uint8)
+    # rounding vs truncation at the uint8 edge differs by at most 1
+    assert np.abs(np.asarray(heat).astype(int)
+                  - np.asarray(heat_ref).astype(int)).max() <= 1
+
+    jet_rgb = (apply_jet(heat) .astype(jnp.float32) / 255.0)[..., ::-1]
+    img3 = jnp.repeat(img01[..., None], 3, axis=-1)
+    over = jet_rgb + img3
+    over = over / jnp.maximum(over.max(axis=(1, 2, 3), keepdims=True), 1e-7)
+    ov_ref = (over * 255).astype(jnp.uint8)
+    assert np.abs(np.asarray(ov).astype(int)
+                  - np.asarray(ov_ref).astype(int)).max() <= 2
