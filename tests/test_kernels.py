@@ -151,3 +151,14 @@ def test_gradcam_tail_pallas_matches_pipeline(rng):
     ov_ref = (over * 255).astype(jnp.uint8)
     assert np.abs(np.asarray(ov).astype(int)
                   - np.asarray(ov_ref).astype(int)).max() <= 2
+
+
+def test_equalize_pallas_matches_cv2(rng):
+    import cv2
+
+    from cadx_tpu.kernels.equalize import equalize_hist_pallas
+
+    imgs = rng.integers(0, 200, (3, 64, 64), dtype=np.uint8)
+    ours = np.asarray(equalize_hist_pallas(jnp.asarray(imgs), interpret=INTERPRET))
+    ref = np.stack([cv2.equalizeHist(imgs[i]) for i in range(3)])
+    np.testing.assert_array_equal(ours, ref)
