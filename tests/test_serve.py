@@ -260,3 +260,20 @@ def test_concurrent_requests(server):
     adv = [b for (s, b), p in zip(results, paths) if p == "/classify?pipeline=advanced"]
     assert all(b == basic[0] for b in basic)
     assert all(a == adv[0] for a in adv)
+
+
+def test_upload_failure_injection(server):
+    """Corrupt/unreadable uploads redirect gracefully (reference behavior:
+    'Error: Could not read image' -> redirect, app.py:247-249)."""
+    base, srv = server
+    status, headers = _post_multipart(
+        base + "/upload-single", {"body_part1": "L"},
+        {"image1": ("broken.png", b"this is not an image at all")})
+    assert status == 302 and headers.get("Location") == "/diagnosis"
+    # server still healthy afterwards
+    status, body = _get(base + "/")
+    assert status == 200
+    # missing file field -> redirect, not a crash
+    status, headers = _post_multipart(base + "/upload-single",
+                                      {"body_part1": "L"}, {})
+    assert status == 302
