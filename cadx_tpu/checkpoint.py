@@ -48,8 +48,17 @@ def save_npz(params: dict, config: CNNConfig, path: str) -> None:
 
 def load_npz(path: str, dtype=jnp.float32) -> tuple[CNNConfig, dict]:
     """Load a reference-schema ``.npz`` into (CNNConfig, params pytree)."""
-    data = np.load(path, allow_pickle=True)
-    config = CNNConfig.from_json_dict(json.loads(str(data["config"])))
+    try:
+        data = np.load(path, allow_pickle=True)
+        config = CNNConfig.from_json_dict(json.loads(str(data["config"])))
+    except FileNotFoundError:
+        raise
+    except Exception as e:  # zip/pickle/json internals are unhelpfully cryptic
+        raise ValueError(
+            f"{path!r} is not a readable cnn_model .npz (expected the "
+            f"reference schema: a 'config' JSON entry plus W{{i}}/b{{i}} "
+            f"arrays): {type(e).__name__}: {e}"
+        ) from e
     idx = config.layer_indices()
     params: dict[str, Any] = {"conv": [], "dense": []}
     for li in idx["conv"]:

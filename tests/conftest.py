@@ -3,23 +3,30 @@
 Multi-chip TPU hardware is unavailable in CI; sharding/collective tests
 run against XLA's host-platform device emulation instead. Must run before
 jax initializes, hence env vars at conftest import time.
+
+Set CADX_TEST_TPU=1 to run on the real TPU instead (single device —
+mesh-dependent tests will skip/fail; useful for exercising the COMPILED
+Pallas kernel paths, e.g. `CADX_TEST_TPU=1 pytest tests/test_kernels.py`).
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_USE_TPU = os.environ.get("CADX_TEST_TPU") == "1"
 
-# The container's sitecustomize imports jax before conftest runs, so the
-# env var alone is too late — force the platform through the live config
-# (backends initialize lazily, so this still takes effect).
-import jax
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
-jax.config.update("jax_platforms", "cpu")
+    # The container's sitecustomize imports jax before conftest runs, so
+    # the env var alone is too late — force the platform through the live
+    # config (backends initialize lazily, so this still takes effect).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
