@@ -51,36 +51,37 @@ def load_npz(path: str, dtype=jnp.float32) -> tuple[CNNConfig, dict]:
     try:
         data = np.load(path, allow_pickle=True)
         config = CNNConfig.from_json_dict(json.loads(str(data["config"])))
-    except FileNotFoundError:
-        raise
-    except Exception as e:  # zip/pickle/json internals are unhelpfully cryptic
+        idx = config.layer_indices()
+        params: dict[str, Any] = {"conv": [], "dense": []}
+        for li in idx["conv"]:
+            params["conv"].append(
+                {
+                    "kernel": jnp.asarray(data[f"W{li}"], dtype).transpose(1, 2, 3, 0),
+                    "bias": jnp.asarray(data[f"b{li}"], dtype),
+                }
+            )
+        for li in idx["dense"]:
+            params["dense"].append(
+                {
+                    "kernel": jnp.asarray(data[f"W{li}"], dtype).T,
+                    "bias": jnp.asarray(data[f"b{li}"], dtype),
+                }
+            )
+        li = idx["output"]
+        params["output"] = {
+            "kernel": jnp.asarray(data[f"W{li}"], dtype).T,
+            "bias": jnp.asarray(data[f"b{li}"], dtype),
+        }
+        return config, params
+    except OSError:
+        raise  # environment problem (missing/unreadable), not a format one
+    except Exception as e:  # zip/pickle/json/KeyError internals are cryptic
         raise ValueError(
             f"{path!r} is not a readable cnn_model .npz (expected the "
             f"reference schema: a 'config' JSON entry plus W{{i}}/b{{i}} "
-            f"arrays): {type(e).__name__}: {e}"
+            f"arrays for every conv/dense/output layer): "
+            f"{type(e).__name__}: {e}"
         ) from e
-    idx = config.layer_indices()
-    params: dict[str, Any] = {"conv": [], "dense": []}
-    for li in idx["conv"]:
-        params["conv"].append(
-            {
-                "kernel": jnp.asarray(data[f"W{li}"], dtype).transpose(1, 2, 3, 0),
-                "bias": jnp.asarray(data[f"b{li}"], dtype),
-            }
-        )
-    for li in idx["dense"]:
-        params["dense"].append(
-            {
-                "kernel": jnp.asarray(data[f"W{li}"], dtype).T,
-                "bias": jnp.asarray(data[f"b{li}"], dtype),
-            }
-        )
-    li = idx["output"]
-    params["output"] = {
-        "kernel": jnp.asarray(data[f"W{li}"], dtype).T,
-        "bias": jnp.asarray(data[f"b{li}"], dtype),
-    }
-    return config, params
 
 
 # ---------------------------------------------------------------------------

@@ -167,3 +167,23 @@ def test_reference_softmax_guards():
     p = cnn.reference_softmax(z)
     np.testing.assert_allclose(float(jnp.sum(p)), 1.0, atol=1e-6)
     assert float(p[0]) > 0.999
+
+
+def test_npz_load_error_messages(tmp_path, setup):
+    """Format errors get the schema message; env errors pass through."""
+    config, _, params, _ = setup
+    # garbage file -> ValueError naming the schema
+    bad = tmp_path / "bad.npz"
+    bad.write_bytes(b"garbage")
+    with pytest.raises(ValueError, match="reference schema"):
+        checkpoint.load_npz(str(bad))
+    # valid config but missing weight arrays -> also the schema message
+    import numpy as _np
+
+    truncated = tmp_path / "trunc.npz"
+    _np.savez(str(truncated), config=json.dumps(config.to_json_dict()))
+    with pytest.raises(ValueError, match="reference schema"):
+        checkpoint.load_npz(str(truncated))
+    # missing file stays FileNotFoundError
+    with pytest.raises(FileNotFoundError):
+        checkpoint.load_npz(str(tmp_path / "nope.npz"))
