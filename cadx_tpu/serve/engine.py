@@ -59,7 +59,13 @@ class EngineConfig:
 
 class InferenceEngine:
     def __init__(self, config: EngineConfig | None = None, seed: int = 0,
-                 basic_npz: str | None = None):
+                 basic_npz: str | None = None,
+                 advanced_summary_json: str | None = None,
+                 advanced_pth: str | None = None):
+        """Weights resolution mirrors the reference deployment: the basic
+        pipeline loads a cnn_model npz (CNNM.py:658), the advanced one a
+        training-summary JSON + torch .pth pair (app.py:571-575). Missing
+        artifacts fall back to random init (cold-start serving)."""
         self.config = config or EngineConfig()
         k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
         self.encoder_params = unet.init_resnet_encoder(k1)
@@ -69,7 +75,16 @@ class InferenceEngine:
             self.basic_params = params
         else:
             self.basic_params = cnn.init_params(k2, self.config.basic_classifier)
-        self.advanced_params = cnn.init_params(k3, self.config.advanced_classifier)
+        if (advanced_summary_json and advanced_pth
+                and os.path.exists(advanced_summary_json)
+                and os.path.exists(advanced_pth)):
+            from cadx_tpu.compat.adcnnm import load_trained_model
+
+            cfg, params = load_trained_model(advanced_summary_json, advanced_pth)
+            self.config = dataclasses.replace(self.config, advanced_classifier=cfg)
+            self.advanced_params = params
+        else:
+            self.advanced_params = cnn.init_params(k3, self.config.advanced_classifier)
 
     # ------------------------------------------------------------------
     # segmentation (upload-single path)
