@@ -84,6 +84,42 @@ def params_from_torch_state_dict(state_dict: dict, config: cnn.CNNConfig) -> dic
     return params
 
 
+def torch_state_dict_from_params(params: dict, config: cnn.CNNConfig) -> dict:
+    """Inverse of params_from_torch_state_dict: export our params as an
+    ADCNNM-layout torch state_dict (conv HWIO -> OIHW, dense transposed,
+    first dense input dim permuted back to torch's NCHW flatten order)."""
+    import torch
+
+    h, w, c = _flatten_hwc(config)
+    out: dict = {}
+    for i, layer in enumerate(params["conv"]):
+        out[f"convs.{i}.weight"] = torch.tensor(
+            np.asarray(layer["kernel"]).transpose(3, 2, 0, 1).copy())
+        out[f"convs.{i}.bias"] = torch.tensor(np.asarray(layer["bias"]))
+
+    dense_entries = list(params["dense"]) + [params["output"]]
+    li = 0
+    for pos, layer in enumerate(dense_entries):
+        wgt = np.asarray(layer["kernel"]).T            # (out, in), HWC order
+        if pos == 0:
+            out_dim = wgt.shape[0]
+            wgt = wgt.reshape(out_dim, h, w, c).transpose(0, 3, 1, 2)
+            wgt = wgt.reshape(out_dim, c * h * w)
+        out[f"fc.{li}.weight"] = torch.tensor(wgt.copy())
+        out[f"fc.{li}.bias"] = torch.tensor(np.asarray(layer["bias"]))
+        li += 3  # each hidden block is [Linear, LeakyReLU, Dropout]
+    return out
+
+
+def save_trained_model(params: dict, config: cnn.CNNConfig,
+                       weight_path: str) -> None:
+    """torch.save an ADCNNM-compatible state_dict of our model — lets
+    reference-side torch tooling consume TPU-trained weights."""
+    import torch
+
+    torch.save(torch_state_dict_from_params(params, config), weight_path)
+
+
 def load_trained_model(json_path: str, weight_path: str):
     """Reference load_trained_model (ADCNNM.py:155-202): rebuild from the
     summary JSON + .pth state dict. Returns (config, params)."""

@@ -17,6 +17,7 @@ gradient (see cadx_tpu.ops.pool).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 from typing import Any, Sequence
 
@@ -185,13 +186,16 @@ def apply(
     out = out.reshape(out.shape[0], -1)
     if training and config.dropout_rate > 0.0 and rng is not None:
         drop_keys = jax.random.split(rng, len(params["dense"]))
+    # HIGHEST precision keeps TPU results faithful to the float64 oracle
+    # (default MXU bf16 passes drift ~3e-3); these matmuls are tiny.
+    _dot = functools.partial(jnp.dot, precision=jax.lax.Precision.HIGHEST)
     for i, layer in enumerate(params["dense"]):
-        z = out @ layer["kernel"] + layer["bias"]
+        z = _dot(out, layer["kernel"]) + layer["bias"]
         out = leaky_relu(z, alpha)
         if training and config.dropout_rate > 0.0 and rng is not None:
             keep = jax.random.uniform(drop_keys[i], out.shape) > config.dropout_rate
             out = out * keep.astype(out.dtype) / (1.0 - config.dropout_rate)
-    logits = out @ params["output"]["kernel"] + params["output"]["bias"]
+    logits = _dot(out, params["output"]["kernel"]) + params["output"]["bias"]
     return logits
 
 

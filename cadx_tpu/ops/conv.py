@@ -38,6 +38,12 @@ def conv2d(
         padding=pad,
         dimension_numbers=_DIMS,
         preferred_element_type=jnp.float32,
+        # HIGHEST keeps TPU MXU results f32-faithful (default bf16 passes
+        # drift ~3e-3 vs the reference's float64 oracle); these classifier
+        # convs are tiny, so the bit-faithfulness contract wins the gate.
+        # The throughput-critical encoder uses conv2d_strided (default
+        # precision) instead.
+        precision=lax.Precision.HIGHEST,
     )
     if bias is not None:
         out = out + bias

@@ -432,9 +432,14 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._send_json({"error": "not found"}, 404)
 
+    MAX_BODY_BYTES = 256 * 1024 * 1024  # generous for raw mammograms
+
     # -- POST -----------------------------------------------------------
     def do_POST(self):
         length = int(self.headers.get("Content-Length", 0))
+        if length > self.MAX_BODY_BYTES:
+            self._send_json({"error": "request body too large"}, 413)
+            return
         body = self.rfile.read(length)
         fields = _parse_multipart(self.headers.get("Content-Type", ""), body)
         route = urllib.parse.urlparse(self.path).path.rstrip("/")

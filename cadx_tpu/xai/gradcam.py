@@ -43,9 +43,11 @@ def conv_features(params, x: jax.Array, config: cnn.CNNConfig) -> jax.Array:
 def head_logits(params, feats: jax.Array, config: cnn.CNNConfig) -> jax.Array:
     alpha = config.leaky_alpha
     out = feats.reshape(feats.shape[0], -1)
+    # HIGHEST precision: parity with the float64 oracle on TPU MXUs
+    _dot = functools.partial(jnp.dot, precision=jax.lax.Precision.HIGHEST)
     for layer in params["dense"]:
-        out = leaky_relu(out @ layer["kernel"] + layer["bias"], alpha)
-    return out @ params["output"]["kernel"] + params["output"]["bias"]
+        out = leaky_relu(_dot(out, layer["kernel"]) + layer["bias"], alpha)
+    return _dot(out, params["output"]["kernel"]) + params["output"]["bias"]
 
 
 @functools.partial(jax.jit, static_argnames=("config", "class_idx"))

@@ -164,3 +164,31 @@ def test_dp_pipeline_on_mesh(rng):
     np.testing.assert_allclose(np.asarray(out.probs).sum(-1), 1.0, atol=1e-5)
     # all 8 mesh devices hold a shard of the output
     assert len(out.probs.sharding.device_set) == 8
+
+
+def test_torch_state_dict_export_roundtrip(tmp_path, rng):
+    """Our params -> torch .pth -> back through load path == identity;
+    TPU-trained weights become consumable by reference-side torch code."""
+    pytest.importorskip("torch")
+    import dataclasses
+
+    from cadx_tpu.compat import adcnnm
+
+    config = dataclasses.replace(
+        cnn.CNNConfig(input_shape=(16, 16, 2), num_classes=2,
+                      conv_layers=((4, 3), (8, 3)), hidden_units=(32, 16),
+                      dropout_rate=0.1),
+        conv_padding="SAME")
+    params = cnn.init_params(jax.random.key(3), config)
+
+    pth = str(tmp_path / "exported.pth")
+    adcnnm.save_trained_model(params, config, pth)
+
+    import torch
+
+    sd = torch.load(pth, weights_only=True)
+    params2 = adcnnm.params_from_torch_state_dict(sd, config)
+    x = jnp.asarray(rng.standard_normal((3, 16, 16, 2)), jnp.float32)
+    p1 = cnn.forward(params, x, config)
+    p2 = cnn.forward(params2, x, config)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)

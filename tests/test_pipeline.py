@@ -99,4 +99,6 @@ def test_pipeline_gradcam_matches_single(rng):
 
         cam_big = np.clip(np.asarray(resize_linear(cam, (64, 64))), 0, 1)
         hm_ref = (cam_big * 255).astype(np.uint8)
-        np.testing.assert_array_equal(np.asarray(out.heatmaps)[i, 0], hm_ref)
+        # differently-fused XLA programs can flip the uint8 edge by 1 on TPU
+        diff = np.abs(np.asarray(out.heatmaps)[i, 0].astype(int) - hm_ref.astype(int))
+        assert diff.max() <= 1, diff.max()
