@@ -129,13 +129,17 @@ def run_pipeline(params: PipelineParams, batch_u8: jax.Array,
         overlays.append(ov)
         heatmaps.append(hm)
 
+    b = batch_u8.shape[0]
+    h, w = config.image_hw
     return PipelineOutput(
         probs=probs,
         predicted=predicted,
         clean_u8=(clean01 * 255).astype(jnp.uint8),
         features=feats_small,
-        overlays=jnp.stack(overlays, axis=1),
-        heatmaps=jnp.stack(heatmaps, axis=1),
+        overlays=(jnp.stack(overlays, axis=1) if overlays
+                  else jnp.zeros((b, 0, h, w, 3), jnp.uint8)),
+        heatmaps=(jnp.stack(heatmaps, axis=1) if heatmaps
+                  else jnp.zeros((b, 0, h, w), jnp.uint8)),
     )
 
 

@@ -38,7 +38,7 @@ import numpy as np
 from cadx_tpu.serve.engine import CLASS_MAP, InferenceEngine
 from cadx_tpu.serve.store import Workspace
 
-ALLOWED_EXTENSIONS = {"png", "jpg", "jpeg", "gif"}
+ALLOWED_EXTENSIONS = {"png", "jpg", "jpeg", "gif", "dcm"}  # +DICOM (extension)
 
 
 def allowed_file(filename: str) -> bool:
@@ -51,9 +51,21 @@ def secure_filename(name: str) -> str:
 
 
 def _imread_gray(path: str) -> np.ndarray | None:
+    """Read any cv2-supported image OR a DICOM (capability the reference
+    lacks — its uploads go through cv2.imread only, app.py:246)."""
     import cv2
 
-    return cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    if img is not None:
+        return img
+    try:
+        from cadx_tpu.data import dicom
+
+        arr = dicom.dcmread(path).pixel_array
+        return (arr.astype(np.float32) / max(float(arr.max()), 1.0) * 255.0
+                ).astype(np.uint8)
+    except Exception:  # noqa: BLE001 — unreadable upload -> None like cv2
+        return None
 
 
 def _imwrite(path: str, img: np.ndarray) -> None:
@@ -105,7 +117,10 @@ class CADxApp:
 
         image_masks, clean_image = self.engine.process_single_image(img)
 
-        clean_path = os.path.join(self.ws.folder("clean"), filename)
+        # clean image is always written as PNG (the upload may be a DICOM,
+        # which cv2 cannot encode)
+        clean_name = os.path.splitext(filename)[0] + ".png"
+        clean_path = os.path.join(self.ws.folder("clean"), clean_name)
         _imwrite(clean_path, clean_image)
 
         # tracked async mask PNGs (reference used an unjoined thread)
@@ -157,6 +172,31 @@ class CADxApp:
                     "redirect": "/bulk-select-parameters"}
         with open(path, "rb") as f:
             return self.upload_single(f.read(), image_name, breast, modality)
+
+    def bulk_classify(self, pipeline: str = "basic") -> dict:
+        """Classify EVERY bulk image in one fused batched TPU program —
+        an extension over the reference, which routes bulk images through
+        upload_single one at a time (app.py:316-343)."""
+        import cv2
+
+        names = self.bulk_images()
+        if not names:
+            return {"error": "no bulk images", "status": 404}
+        hw = self.engine.config.segment_hw
+        imgs, kept = [], []
+        for n in names:
+            img = _imread_gray(os.path.join(self.ws.folder("bulk"), n))
+            if img is None:
+                continue
+            imgs.append(cv2.resize(img, (hw[1], hw[0]),
+                                   interpolation=cv2.INTER_AREA))
+            kept.append(n)
+        if not imgs:
+            return {"error": "no readable bulk images", "status": 400}
+        rows = self.engine.classify_batch(np.stack(imgs), pipeline)
+        for name, row in zip(kept, rows):
+            row["image_name"] = name
+        return {"classificationData": rows}
 
     # ---------------- diagnosis / view (app.py:358-462) ----------------
     def diagnosis(self) -> list[dict]:
@@ -425,6 +465,9 @@ class _Handler(BaseHTTPRequestHandler):
         elif route == "/bulk-select-parameters":
             self._respond({"images": app.bulk_images()},
                           lambda o: T.bulk_select(o["images"]))
+        elif route == "/bulk-classify":
+            out = app.bulk_classify(self._pipeline(query))
+            self._send_json(out, status=out.pop("status", 200) if "error" in out else 200)
         elif route == "/sample":
             self._respond({"page": "sample"}, lambda o: T.sample())
         elif route.startswith("/static/"):

@@ -199,6 +199,43 @@ class InferenceEngine:
         return run
 
     # ------------------------------------------------------------------
+    # batched bulk classification (fused pipeline — no reference analogue;
+    # the reference routes bulk images one at a time through upload_single)
+    # ------------------------------------------------------------------
+    def classify_batch(self, images_u8: np.ndarray, pipeline: str = "basic") -> list[dict]:
+        """(B, H, W) uint8 at segment_hw -> one result row per image, all
+        stages in one fused batched XLA program."""
+        from cadx_tpu.pipeline import fused
+
+        pcfg = fused.PipelineConfig(
+            image_hw=self.config.segment_hw,
+            feature_hw=self.config.feature_resize,
+            classes_to_explain=(),          # explanations stay per-case
+            classifier=self.config.basic_classifier,
+        )
+        params = fused.PipelineParams(
+            encoder=self.encoder_params,
+            classifier=self.basic_params if pipeline == "basic" else self.advanced_params,
+        )
+        if pipeline != "basic":
+            pcfg = dataclasses.replace(
+                pcfg, feature_hw=self.config.advanced_classifier.input_shape[:2],
+                classifier=self.config.advanced_classifier)
+        out = fused.run_pipeline(params, jnp.asarray(images_u8), pcfg)
+        probs = np.asarray(out.probs)
+        preds = np.asarray(out.predicted)
+        return [
+            {
+                "sample": i + 1,
+                "prediction_probabilities": probs[i].tolist(),
+                "predicted_class": CLASS_MAP[int(preds[i])],
+                "accuracy": round(float(probs[i].max()) * 100, 2),
+                "diagnosis": CLASS_MAP[int(preds[i])],
+            }
+            for i in range(len(preds))
+        ]
+
+    # ------------------------------------------------------------------
     # explainability artifacts
     # ------------------------------------------------------------------
     def write_gradcam_overlays(self, features: np.ndarray, display_img: np.ndarray,

@@ -277,3 +277,43 @@ def test_upload_failure_injection(server):
     status, headers = _post_multipart(base + "/upload-single",
                                       {"body_part1": "L"}, {})
     assert status == 302
+
+
+def test_dicom_upload_and_bulk_classify(server):
+    """DICOM uploads work end-to-end, and /bulk-classify runs every bulk
+    image through ONE fused batched program."""
+    import io as _io
+    import zipfile as _zipfile
+
+    from cadx_tpu.data import dicom as _dicom
+
+    base, srv = server
+    rng = np.random.default_rng(3)
+
+    # DICOM single upload
+    img = rng.integers(0, 4096, (96, 96), dtype=np.uint16)
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".dcm", delete=False) as f:
+        _dicom.dcmwrite_minimal(f.name, img, "PDCM")
+        dcm_bytes = open(f.name, "rb").read()
+    status, headers = _post_multipart(
+        base + "/upload-single", {"body_part1": "L", "modality1": "MG"},
+        {"image1": ("scan.dcm", dcm_bytes)})
+    assert status == 302 and headers.get("Location") == "/diagnosis"
+    status, body = _get(base + "/classify?pipeline=basic")
+    assert status == 200
+
+    # batched bulk classify
+    buf = _io.BytesIO()
+    with _zipfile.ZipFile(buf, "w") as zf:
+        for i in range(3):
+            zf.writestr(f"b{i}.png", _mammo_png(seed=20 + i))
+    _post_multipart(base + "/upload-bulk", {},
+                    {"bulk_images_zip": ("batch.zip", buf.getvalue())})
+    status, body = _get(base + "/bulk-classify?pipeline=basic")
+    assert status == 200
+    rows = body["classificationData"]
+    assert len(rows) == 3
+    assert {r["image_name"] for r in rows} == {"b0.png", "b1.png", "b2.png"}
+    for r in rows:
+        assert abs(sum(r["prediction_probabilities"]) - 1.0) < 1e-4
