@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cadx_tpu.models.cnn import CNNConfig, init_params
+from cadx_tpu.models.cnn import CNNConfig
 
 
 def save_npz(params: dict, config: CNNConfig, path: str) -> None:

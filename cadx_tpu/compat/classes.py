@@ -25,8 +25,7 @@ returns its result.
 
 from __future__ import annotations
 
-import json
-from typing import Any, Sequence
+from typing import Any
 
 import numpy as np
 
@@ -35,7 +34,6 @@ import jax.numpy as jnp
 
 from cadx_tpu import checkpoint as _ckpt
 from cadx_tpu.data import dataset as _dataset
-from cadx_tpu.data import dicom as _dicom
 from cadx_tpu.models import cnn as _cnn
 from cadx_tpu.models import unet as _unet
 from cadx_tpu.ops import pool as _pool

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import csv
 import dataclasses
-import os
 from typing import Callable, Sequence
 
 import numpy as np

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from cadx_tpu.ops.conv import conv2d
-from cadx_tpu.ops.pool import max_pool_ties, upsample_nearest
+from cadx_tpu.ops.pool import upsample_nearest
 
 
 # ---------------------------------------------------------------------------

@@ -27,7 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from cadx_tpu.ops.components import fill_holes, label_components, largest_component, component_areas
+from cadx_tpu.ops.components import fill_holes, largest_component
 from cadx_tpu.ops.histogram import equalize_hist
 from cadx_tpu.ops.morphology import dilate, erode, median_blur3, opening
 from cadx_tpu.ops.resize import resize_area

@@ -11,8 +11,6 @@ given), and metric aggregation across folds.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence
-
 import jax
 import numpy as np
 

@@ -13,7 +13,6 @@ optax.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from cadx_tpu.utils.tree import clip_grads_per_leaf

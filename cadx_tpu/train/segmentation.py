@@ -10,7 +10,6 @@ batched, optionally data-parallel over the mesh, with IoU/Dice metrics.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Callable
 
 import jax

@@ -29,7 +29,6 @@ import optax
 
 from cadx_tpu.models import cnn
 from cadx_tpu.train import optim
-from cadx_tpu.train.metrics import accuracy
 
 
 def masked_loss_fn(params, x, y_onehot, mask, config, *, training, rng):
