@@ -52,10 +52,12 @@ def secure_filename(name: str) -> str:
 
 def _imread_gray(path: str) -> np.ndarray | None:
     """Read any cv2-supported image OR a DICOM (capability the reference
-    lacks — its uploads go through cv2.imread only, app.py:246)."""
+    lacks — its uploads go through 8-bit cv2.imread only, app.py:246).
+    ANYDEPTH preserves 16-bit mammogram PNGs/TIFFs; the engine's
+    relative-threshold preprocessing handles either depth."""
     import cv2
 
-    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE | cv2.IMREAD_ANYDEPTH)
     if img is not None:
         return img
     try:

@@ -317,3 +317,24 @@ def test_dicom_upload_and_bulk_classify(server):
     assert {r["image_name"] for r in rows} == {"b0.png", "b1.png", "b2.png"}
     for r in rows:
         assert abs(sum(r["prediction_probabilities"]) - 1.0) < 1e-4
+
+
+def test_16bit_png_upload(server):
+    """16-bit mammogram PNGs keep their depth through upload+classify
+    (the reference's 8-bit cv2.imread crushed them)."""
+    base, srv = server
+    rng = np.random.default_rng(11)
+    img16 = (rng.normal(2000, 400, (96, 96))).clip(0, 65535).astype(np.uint16)
+    ok, buf = cv2.imencode(".png", img16)
+    assert ok
+    status, headers = _post_multipart(
+        base + "/upload-single", {"modality1": "MG"},
+        {"image1": ("deep.png", buf.tobytes())})
+    assert status == 302
+    # the preprocessed npy retains 16-bit depth
+    import glob
+    npys = glob.glob(str(srv.app.ws.folder("preprocessed")) + "/*.npy")
+    arr = np.load(npys[0])
+    assert arr.dtype == np.uint16 and arr.max() > 255
+    status, body = _get(base + "/classify?pipeline=basic")
+    assert status == 200
