@@ -47,7 +47,8 @@ def allowed_file(filename: str) -> bool:
 
 def secure_filename(name: str) -> str:
     keep = [c if (c.isalnum() or c in "._-") else "_" for c in os.path.basename(name)]
-    return "".join(keep) or "upload"
+    out = "".join(keep).strip(".")  # "." / ".." would resolve to directories
+    return out or "upload"
 
 
 def _imread_gray(path: str) -> np.ndarray | None:
@@ -87,22 +88,52 @@ def save_masks(image_masks: np.ndarray, filename: str, folder: str) -> None:
         _imwrite(os.path.join(folder, f"{base}_mask_{i+1}.png"), u8)
 
 
+def _locked(fn):
+    """Serialize mutating routes: concurrent uploads would clear each
+    other's folders mid-processing and cross-wire CSV rows with artifacts
+    (the race class the reference had). RLock because upload_bulk_image
+    re-enters upload_single."""
+    import functools as _ft
+
+    @_ft.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._lock:
+            return fn(self, *args, **kwargs)
+
+    return wrapper
+
+
 class CADxApp:
     """Route logic, decoupled from the HTTP plumbing for testability."""
 
     def __init__(self, workspace_root: str, engine: InferenceEngine | None = None):
         self.ws = Workspace(workspace_root)
         self.engine = engine or InferenceEngine()
-        self._lock = threading.Lock()
+        self._lock = threading.RLock()
 
     # ---------------- upload-single (app.py:230-314) ----------------
+    @_locked
     def upload_single(self, image_bytes: bytes, filename: str,
                       breast: str = "", modality: str = "") -> dict:
         import uuid
 
         filename = secure_filename(filename)
+        if not allowed_file(filename):
+            return {"error": f"unsupported file type: {filename}",
+                    "redirect": "/diagnosis"}
         for f in ("raw", "preprocessed", "segmentation", "clean"):
             self.ws.clear_folder(f)
+        # also clear the static mirrors so a re-upload can never serve a
+        # previous patient's image/masks/overlays (stale-cache hazard)
+        for rel in ("images", "explainability"):
+            self.ws.clear_folder(rel)
+        static_seg = os.path.join(self.ws.root, "static", "segmentation_image")
+        if os.path.isdir(static_seg):
+            for fn in os.listdir(static_seg):
+                try:
+                    os.unlink(os.path.join(static_seg, fn))
+                except OSError:
+                    pass
         raw_path = os.path.join(self.ws.folder("raw"), filename)
         with open(raw_path, "wb") as f:
             f.write(image_bytes)
@@ -149,23 +180,37 @@ class CADxApp:
         return {"patient_id": patient_id, "redirect": "/diagnosis"}
 
     # ---------------- bulk (app.py:316-343, :774-809) ----------------
+    @_locked
     def upload_bulk(self, zip_bytes: bytes) -> dict:
         self.ws.clear_folder("bulk")
         extracted = []
+        MAX_MEMBER = 128 * 1024 * 1024
+        MAX_TOTAL = 512 * 1024 * 1024
+        total = 0
         with zipfile.ZipFile(io.BytesIO(zip_bytes)) as zf:
             for member in zf.infolist():
                 name = os.path.basename(member.filename)
                 if not name:
                     continue
+                # decompression-bomb guard: trust but verify declared sizes
+                if member.file_size > MAX_MEMBER or total + member.file_size > MAX_TOTAL:
+                    return {"error": "zip contents too large",
+                            "redirect": "/bulk-select-parameters"}
                 with zf.open(member) as src:
+                    data = src.read(MAX_MEMBER + 1)
+                    if len(data) > MAX_MEMBER:  # lied about file_size
+                        return {"error": "zip contents too large",
+                                "redirect": "/bulk-select-parameters"}
                     with open(os.path.join(self.ws.folder("bulk"), name), "wb") as dst:
-                        dst.write(src.read())
+                        dst.write(data)
+                total += len(data)
                 extracted.append(name)
         return {"extracted": extracted, "redirect": "/bulk-select-parameters"}
 
     def bulk_images(self) -> list[str]:
         return sorted(f for f in os.listdir(self.ws.folder("bulk")) if allowed_file(f))
 
+    @_locked
     def upload_bulk_image(self, image_name: str, breast: str = "",
                           modality: str = "") -> dict:
         path = os.path.join(self.ws.folder("bulk"), image_name)
@@ -175,6 +220,7 @@ class CADxApp:
         with open(path, "rb") as f:
             return self.upload_single(f.read(), image_name, breast, modality)
 
+    @_locked
     def bulk_classify(self, pipeline: str = "basic") -> dict:
         """Classify EVERY bulk image in one fused batched TPU program —
         an extension over the reference, which routes bulk images through
@@ -217,6 +263,7 @@ class CADxApp:
             "patient_id": patient_id,
         }
 
+    @_locked
     def view_segmentation(self) -> dict:
         cases = self.ws.read_cases()
         if not cases:
@@ -225,9 +272,15 @@ class CADxApp:
         base = os.path.splitext(os.path.basename(seg_path))[0].replace("_all_masks", "")
         self.ws.wait("save_masks")  # fixed race: reference read while writing
         prefix = f"{base}_mask_"
+        def _mask_index(name: str) -> int:
+            try:
+                return int(name[len(prefix):-len(".png")])
+            except ValueError:
+                return 1 << 30
         masks = sorted(
-            f for f in os.listdir(self.ws.folder("segmentation"))
-            if f.startswith(prefix) and f.endswith(".png"))
+            (f for f in os.listdir(self.ws.folder("segmentation"))
+             if f.startswith(prefix) and f.endswith(".png")),
+            key=_mask_index)  # numeric, not lexicographic (1,2,..,10,..)
         if not masks:
             return {"error": f"No segmentation masks found for {base}", "status": 404}
         # expose masks under /static for the gallery page (app.py:429-436)
@@ -235,11 +288,9 @@ class CADxApp:
         os.makedirs(static_seg, exist_ok=True)
         for m in masks:
             src = os.path.join(self.ws.folder("segmentation"), m)
-            dst = os.path.join(static_seg, m)
-            if not os.path.exists(dst):
-                import shutil
+            import shutil
 
-                shutil.copy2(src, dst)
+            shutil.copy2(src, dst := os.path.join(static_seg, m))
         return {
             "masks": masks,
             "metadata": {"image_name": base + ".png", "modality": "Mammogram",
@@ -254,7 +305,7 @@ class CADxApp:
         image_path = cases[0]["dicom_file_path"]
         name = os.path.basename(image_path)
         dst = os.path.join(self.ws.folder("images"), name)
-        if not os.path.exists(dst) and os.path.exists(image_path):
+        if os.path.exists(image_path):
             import shutil
 
             shutil.copyfile(image_path, dst)
@@ -272,6 +323,7 @@ class CADxApp:
                           "status": 400}
         return np.load(os.path.join(self.ws.folder("segmentation"), npy[0])), None
 
+    @_locked
     def classify(self, pipeline: str = "basic") -> dict:
         features, err = self._load_features()
         if err:
@@ -291,6 +343,7 @@ class CADxApp:
         image_filename = cases[0]["image_name"] if cases else ""
         return {"classificationData": [result], "image_filename": image_filename}
 
+    @_locked
     def roi(self, pipeline: str = "basic") -> dict:
         features, err = self._load_features()
         if err:
@@ -326,19 +379,24 @@ class CADxApp:
 # ---------------------------------------------------------------------------
 
 def _parse_multipart(content_type: str, body: bytes) -> dict:
-    """Minimal multipart/form-data parser (fields + files)."""
+    """Minimal multipart/form-data parser (fields + files), binary-safe:
+    exactly ONE framing CRLF is removed around each part — stripping all
+    trailing CR/LF bytes would corrupt binaries that end in 0x0a/0x0d."""
     fields: dict[str, bytes | tuple[str, bytes]] = {}
     if "boundary=" not in content_type:
         return fields
     boundary = content_type.split("boundary=", 1)[1].strip().strip('"')
     delim = b"--" + boundary.encode()
     for part in body.split(delim):
-        part = part.strip(b"\r\n")
-        if not part or part == b"--":
+        if part in (b"", b"--", b"--\r\n", b"\r\n"):
             continue
+        if part.startswith(b"\r\n"):
+            part = part[2:]
         if b"\r\n\r\n" not in part:
             continue
         header_blob, value = part.split(b"\r\n\r\n", 1)
+        if value.endswith(b"\r\n"):  # the single CRLF before the next boundary
+            value = value[:-2]
         headers = header_blob.decode("utf-8", errors="replace")
         name = None
         filename = None
@@ -405,7 +463,12 @@ class _Handler(BaseHTTPRequestHandler):
         if not os.path.isfile(full):
             self._send_json({"error": "not found"}, 404)
             return
-        ctype = mimetypes.guess_type(full)[0] or "application/octet-stream"
+        guessed = mimetypes.guess_type(full)[0] or "application/octet-stream"
+        # never serve active content types from the artifact store
+        # (stored-XSS guard: uploads are copied under static/)
+        safe = {"image/png", "image/jpeg", "image/gif", "text/css",
+                "application/json"}
+        ctype = guessed if guessed in safe else "application/octet-stream"
         with open(full, "rb") as f:
             data = f.read()
         self.send_response(200)
@@ -419,17 +482,32 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Location", location)
         self.end_headers()
 
+    @staticmethod
+    def _sanitize_pipeline(value: str) -> str:
+        # strict whitelist: this value flows into a Set-Cookie header and
+        # engine dispatch (CRLF in a query param must never reach headers)
+        return value if value in ("basic", "advanced") else "basic"
+
     def _pipeline(self, query: dict) -> str:
         if "pipeline" in query:
-            return query["pipeline"][0]
+            return self._sanitize_pipeline(query["pipeline"][0])
         cookies = self.headers.get("Cookie", "")
         for item in cookies.split(";"):
             if item.strip().startswith("cadx-pipeline="):
-                return item.strip().split("=", 1)[1]
+                return self._sanitize_pipeline(item.strip().split("=", 1)[1])
         return "basic"
 
     # -- GET ------------------------------------------------------------
     def do_GET(self):
+        try:
+            self._do_get()
+        except Exception as e:  # noqa: BLE001 — always answer the client
+            try:
+                self._send_json({"error": f"{type(e).__name__}: {e}"}, 500)
+            except Exception:
+                pass
+
+    def _do_get(self):
         parsed = urllib.parse.urlparse(self.path)
         query = urllib.parse.parse_qs(parsed.query)
         route = parsed.path.rstrip("/") or "/"
@@ -443,7 +521,7 @@ class _Handler(BaseHTTPRequestHandler):
                            "next": "/home?pipeline=basic|advanced"},
                           lambda o: T.landing())
         elif route == "/home":
-            pipeline = query.get("pipeline", ["basic"])[0]
+            pipeline = self._sanitize_pipeline(query.get("pipeline", ["basic"])[0])
             self._respond({"page": "home", "pipeline": pipeline},
                           lambda o: T.home(o["pipeline"]),
                           cookie=f"cadx-pipeline={pipeline}; Path=/")
@@ -481,6 +559,15 @@ class _Handler(BaseHTTPRequestHandler):
 
     # -- POST -----------------------------------------------------------
     def do_POST(self):
+        try:
+            self._do_post()
+        except Exception as e:  # noqa: BLE001 — always answer the client
+            try:
+                self._send_json({"error": f"{type(e).__name__}: {e}"}, 500)
+            except Exception:
+                pass
+
+    def _do_post(self):
         length = int(self.headers.get("Content-Length", 0))
         if length > self.MAX_BODY_BYTES:
             self._send_json({"error": "request body too large"}, 413)

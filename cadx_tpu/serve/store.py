@@ -96,8 +96,11 @@ class Workspace:
             self._jobs[key] = fut
         return fut
 
-    def wait(self, key: str, timeout: float | None = 60.0) -> None:
-        """Block until the job under `key` (if any) completes."""
+    def wait(self, key: str, timeout: float | None = 600.0) -> None:
+        """Block until the job under `key` (if any) completes. The default
+        covers first-compile latency of the jitted artifact programs
+        (remote TPU compiles can take minutes); job exceptions propagate
+        to the caller, which maps them to an HTTP 500."""
         with self._lock:
             fut = self._jobs.get(key)
         if fut is not None:

@@ -338,3 +338,68 @@ def test_16bit_png_upload(server):
     assert arr.dtype == np.uint16 and arr.max() > 255
     status, body = _get(base + "/classify?pipeline=basic")
     assert status == 200
+
+
+def test_review_fixes_regressions(server, tmp_path):
+    """Regressions for the security/correctness review findings."""
+    base, srv = server
+
+    # 1. binary multipart: file content ending in CR/LF bytes survives intact
+    from cadx_tpu.serve.app import _parse_multipart
+    payload = b"\x89PNGdata-ending-in-newlines\r\n\n\r\n"
+    body = (b"--BB\r\nContent-Disposition: form-data; name=\"f\"; "
+            b"filename=\"x.bin\"\r\n\r\n" + payload + b"\r\n--BB--\r\n")
+    fields = _parse_multipart("multipart/form-data; boundary=BB", body)
+    assert fields["f"][1] == payload
+
+    # 2. header injection via pipeline param is neutralized
+    import urllib.request
+    req = urllib.request.Request(
+        base + "/home?pipeline=basic%0d%0aSet-Cookie:%20evil%3D1")
+    with urllib.request.urlopen(req) as r:
+        cookies = r.headers.get_all("Set-Cookie") or []
+        assert all("evil" not in c for c in cookies)
+        assert json.loads(r.read())["pipeline"] == "basic"
+
+    # 3. html uploads rejected (stored-XSS vector)
+    status, headers = _post_multipart(
+        base + "/upload-single", {}, {"image1": ("evil.html", b"<script>1</script>")})
+    assert status == 302  # graceful redirect, nothing stored
+    import os as _os
+    assert not _os.path.exists(_os.path.join(srv.app.ws.folder("raw"), "evil.html"))
+
+    # 4. '..' filename cannot escape
+    status, headers = _post_multipart(
+        base + "/upload-single", {}, {"image1": ("..", _mammo_png(seed=30))})
+    assert status == 302  # handled, no crash
+
+    # 5. mask gallery ordering is numeric
+    _post_multipart(base + "/upload-single", {}, {"image1": ("ord.png", _mammo_png(seed=31))})
+    status, body = _get(base + "/view_segmentation")
+    masks = body["masks"]
+    idx = [int(m.split("_mask_")[1].split(".")[0]) for m in masks]
+    assert idx == sorted(idx) == list(range(1, 65))
+
+    # 6. zip bomb declared sizes rejected
+    import io as _io
+    import zipfile as _zf
+    buf = _io.BytesIO()
+    with _zf.ZipFile(buf, "w", compression=_zf.ZIP_DEFLATED) as zf:
+        zf.writestr("huge.png", b"\0" * (140 * 1024 * 1024))  # > member cap
+    status, headers = _post_multipart(
+        base + "/upload-bulk", {}, {"bulk_images_zip": ("bomb.zip", buf.getvalue())})
+    assert status == 302
+    assert "huge.png" not in srv.app.bulk_images()
+
+    # 7. re-upload with the SAME filename replaces static artifacts
+    _post_multipart(base + "/upload-single", {}, {"image1": ("same.png", _mammo_png(seed=40))})
+    _get(base + "/classify?pipeline=basic")
+    srv.app.ws.wait("gradcam")
+    first = open(_os.path.join(srv.app.ws.folder("explainability"),
+                               "gradcam_overlay_class_0.png"), "rb").read()
+    _post_multipart(base + "/upload-single", {}, {"image1": ("same.png", _mammo_png(seed=41))})
+    _get(base + "/classify?pipeline=basic")
+    srv.app.ws.wait("gradcam")
+    second = open(_os.path.join(srv.app.ws.folder("explainability"),
+                                "gradcam_overlay_class_0.png"), "rb").read()
+    assert first != second  # no stale artifacts for the new patient
