@@ -81,7 +81,7 @@ def _watershed_kernel(img_ref, markers_ref, labels_ref, boundary_ref, *,
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "stable_iters", "interpret"))
 def marker_watershed_pallas(images: jax.Array, markers: jax.Array,
-                            max_iters: int = 1024, stable_iters: int = 4,
+                            max_iters: int = 1024, stable_iters: int = 8,
                             interpret: bool = False):
     """Batched watershed: (B,H,W) image + int markers -> (labels, boundary)."""
     b, h, w = images.shape

@@ -56,15 +56,26 @@ def closing(img: jax.Array, ksize: int, iterations: int = 1) -> jax.Array:
     return erode(dilate(img, ksize, iterations), ksize, iterations)
 
 
-def median_blur3(img: jax.Array) -> jax.Array:
-    """3x3 median filter with replicated borders (cv2.medianBlur(img, 3)).
+def median_blur(img: jax.Array, ksize: int = 3) -> jax.Array:
+    """k x k median filter with replicated borders (cv2.medianBlur).
 
-    Gathers the 9 shifted views and sorts along a new axis — a fixed-size
-    vectorized sort the VPU handles well; no data-dependent control flow.
+    Gathers the k^2 shifted views and sorts along a new axis — a
+    fixed-size vectorized sort the VPU handles well; no data-dependent
+    control flow. Intended for the small odd kernels the reference uses
+    (blur_kn_size 3 or 5).
     """
+    if ksize % 2 != 1 or ksize < 1:
+        raise ValueError("median_blur requires an odd ksize >= 1")
     dtype = img.dtype
-    x = jnp.pad(img.astype(jnp.float32), 1, mode="edge")
+    pad = ksize // 2
+    x = jnp.pad(img.astype(jnp.float32), pad, mode="edge")
     h, w = img.shape
-    views = [x[i : i + h, j : j + w] for i in range(3) for j in range(3)]
+    views = [x[i : i + h, j : j + w]
+             for i in range(ksize) for j in range(ksize)]
     stack = jnp.stack(views, axis=-1)
-    return jnp.sort(stack, axis=-1)[..., 4].astype(dtype)
+    return jnp.sort(stack, axis=-1)[..., (ksize * ksize) // 2].astype(dtype)
+
+
+def median_blur3(img: jax.Array) -> jax.Array:
+    """cv2.medianBlur(img, 3) (kept for callers of the original name)."""
+    return median_blur(img, 3)

@@ -17,10 +17,22 @@ def binary_threshold(img: jax.Array, thresh, maxval=255) -> jax.Array:
 
 
 def relative_threshold_value(img: jax.Array, frac) -> jax.Array:
-    """int(img.max() * frac) — the reference's relative threshold rule
-    (customImageCleaner.py:96-99: thresholds <1.0 scale by the image max,
-    truncated toward zero)."""
+    """The reference's threshold rule (customImageCleaner.py:96-99):
+    values < 1.0 scale by the image max (int-truncated); values >= 1.0
+    are ABSOLUTE pixel thresholds used as-is."""
+    if isinstance(frac, (int, float)) and frac >= 1.0:
+        return jnp.int32(int(frac))
     return jnp.floor(img.max().astype(jnp.float32) * frac).astype(jnp.int32)
+
+
+def max_pix_val(dtype) -> int:
+    """Reference max_pix_val (customImageCleaner.py:84-91)."""
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.uint8:
+        return 255
+    if dtype == jnp.uint16:
+        return 65535
+    raise ValueError(f"Unknown dtype found in input image array: {dtype}")
 
 
 def to_uint8(img: jax.Array) -> jax.Array:

@@ -74,18 +74,7 @@ class PipelineOutput(NamedTuple):
 
 def _clean_one(img_u8: jax.Array) -> jax.Array:
     """Cleaner chain at native resolution -> [0,1] float display image."""
-    raw8 = cleaner_to_uint8(img_u8)
-    img_suppr, breast_mask = cleaner.suppress_artifacts(raw8, 0.05, 15)
-    img_breast_only, _ = cleaner.segment_breast_mask(img_suppr, 0.05)
-    res = cleaner.remove_pectoral(img_breast_only.astype(jnp.uint8), breast_mask,
-                                  0.8, 3, 7, 25)
-    return cleaner.boundary_image_gray(res) / 255.0
-
-
-def cleaner_to_uint8(img):
-    from cadx_tpu.ops.threshold import to_uint8
-
-    return to_uint8(img)
+    return cleaner.clean_boundary_gray(img_u8) / 255.0
 
 
 def _gradcam_tail(params_cls, feats_small, clean01, class_idx, config: PipelineConfig):

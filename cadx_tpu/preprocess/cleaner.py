@@ -29,9 +29,9 @@ import jax.numpy as jnp
 
 from cadx_tpu.ops.components import fill_holes, largest_component
 from cadx_tpu.ops.histogram import equalize_hist
-from cadx_tpu.ops.morphology import dilate, erode, median_blur3, opening
+from cadx_tpu.ops.morphology import dilate, erode, median_blur, opening
 from cadx_tpu.ops.resize import resize_area
-from cadx_tpu.ops.threshold import binary_threshold, relative_threshold_value, to_uint8
+from cadx_tpu.ops.threshold import binary_threshold, max_pix_val, relative_threshold_value, to_uint8
 from cadx_tpu.ops.watershed import marker_watershed
 
 
@@ -39,19 +39,19 @@ def select_largest_obj(img_bin: jax.Array, lab_val: int = 255,
                        fill_holes_: bool = False,
                        smooth_boundary: bool = False,
                        kernel_size: int = 15) -> jax.Array:
-    """Largest 8-connected object, optional hole adding + open smoothing.
+    """Largest 8-connected object, optional hole filling + open smoothing.
 
-    Reference semantics (customImageCleaner.py:60-82): holes are the
-    enclosed background regions of the WHOLE binary image (floodFill from
-    a background seed), added onto the largest-object mask.
+    Reference semantics (customImageCleaner.py:60-82): the flood fill runs
+    on largest_mask (all OTHER objects already zeroed), so the holes added
+    are the enclosed background of the LARGEST object only — interiors of
+    ring-shaped artifacts elsewhere in frame stay background. Output dtype
+    follows lab_val's magnitude (uint16 masks for uint16 images).
     """
     fg = img_bin > 0
     largest = largest_component(fg, connectivity=8)
-    mask = largest
-    if fill_holes_:
-        holes_full = fill_holes(fg) & ~fg
-        mask = mask | holes_full
-    out = jnp.where(mask, jnp.uint8(lab_val), jnp.uint8(0))
+    mask = fill_holes(largest) if fill_holes_ else largest
+    out_dtype = jnp.uint8 if lab_val <= 255 else jnp.uint16
+    out = jnp.where(mask, jnp.asarray(lab_val, out_dtype), jnp.asarray(0, out_dtype))
     if smooth_boundary:
         out = opening(out, kernel_size)
     return out
@@ -75,23 +75,27 @@ def _bounding_rect(mask: jax.Array):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("kernel_size",))
+@functools.partial(jax.jit, static_argnames=("global_threshold", "kernel_size"))
 def suppress_artifacts(img: jax.Array, global_threshold: float = 0.05,
                        kernel_size: int = 15):
     """Stage 1: keep the breast (largest bright object), zero the rest.
 
-    img: (H, W) uint8. Returns (img_suppressed, breast_mask_u8).
+    img: (H, W) uint8 or uint16. Returns (img_suppressed, breast_mask)
+    with the mask at the dtype's max value like the reference's
+    max_pix_val (a uint8 255-mask would AND away a uint16 image's high
+    byte).
     """
+    maxval = max_pix_val(img.dtype)
     low_th = relative_threshold_value(img, global_threshold)
-    img_bin = binary_threshold(img, low_th, 255)
-    breast_mask = select_largest_obj(img_bin, 255, fill_holes_=True,
+    img_bin = binary_threshold(img, low_th, maxval)
+    breast_mask = select_largest_obj(img_bin, maxval, fill_holes_=True,
                                      smooth_boundary=True,
                                      kernel_size=kernel_size)
     img_suppr = img & breast_mask  # bitwise AND like cv2.bitwise_and
     return img_suppr, breast_mask
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("low_int_threshold",))
 def segment_breast_mask(img: jax.Array, low_int_threshold: float = 0.05):
     """Stage 2 (crop=False form, as the app calls it, app.py:117-121).
 
@@ -101,9 +105,13 @@ def segment_breast_mask(img: jax.Array, low_int_threshold: float = 0.05):
     img_8u = to_uint8(img)
     low_th = relative_threshold_value(img_8u, low_int_threshold)
     img_bin = binary_threshold(img_8u, low_th, 255)
-    largest = largest_component(img_bin > 0, connectivity=8)
-    # drawContours(-1 fill) paints everything inside the outer contour
-    contour_fill = fill_holes(largest)
+    # cv2 selects by argmax(contourArea) — the FILLED polygon area, not the
+    # pixel count — then drawContours(-1) paints everything inside the
+    # outer contour. Labeling the hole-filled mask gives exactly those
+    # filled regions, so argmax over them matches cv2's criterion (a
+    # hollow ring ranks by its filled interior).
+    filled = fill_holes(img_bin > 0)
+    contour_fill = largest_component(filled, connectivity=8)
     img_breast_only = jnp.where(contour_fill, img, jnp.asarray(0, img.dtype))
     return img_breast_only, _bounding_rect(contour_fill)
 
@@ -115,7 +123,7 @@ class PectoralResult(NamedTuple):
     breast_only_mask: jax.Array  # uint8 mask after opening
 
 
-@functools.partial(jax.jit, static_argnames=("morph_kn_size", "n_morph_op", "sm_kn_size"))
+@functools.partial(jax.jit, static_argnames=("high_int_threshold", "morph_kn_size", "n_morph_op", "sm_kn_size"))
 def remove_pectoral(img: jax.Array, breast_mask: jax.Array,
                     high_int_threshold: float = 0.8,
                     morph_kn_size: int = 3, n_morph_op: int = 7,
@@ -127,10 +135,11 @@ def remove_pectoral(img: jax.Array, breast_mask: jax.Array,
     pectoral (breast), 64 = outside the breast mask, 0 = the uncertain
     band the watershed resolves.
     """
+    maxval = max_pix_val(img.dtype)
     img_equ = equalize_hist(img)
     high_th = relative_threshold_value(img, high_int_threshold)
-    img_bin = binary_threshold(img_equ, high_th, 255)
-    pect_mask_init = select_largest_obj(img_bin, 255, fill_holes_=True,
+    img_bin = binary_threshold(img_equ, high_th, maxval)
+    pect_mask_init = select_largest_obj(img_bin, maxval, fill_holes_=True,
                                         smooth_boundary=False)
     pect_eroded = erode(pect_mask_init, morph_kn_size, n_morph_op)
     pect_dilated = dilate(pect_mask_init, morph_kn_size, n_morph_op)
@@ -150,13 +159,17 @@ def remove_pectoral(img: jax.Array, breast_mask: jax.Array,
 
 
 def process(img: jax.Array, median_filtering: bool = True,
-            artif_suppression: bool = True, low_int_threshold: float = 0.05,
-            kernel_size: int = 15, pect_removal: bool = False,
-            high_int_threshold: float = 0.8, **pect_kwargs):
-    """Reference `DMImagePreprocessor.process` orchestration (:159-176)."""
+            blur_kn_size: int = 3, artif_suppression: bool = True,
+            low_int_threshold: float = 0.05, kernel_size: int = 15,
+            pect_removal: bool = False, high_int_threshold: float = 0.8,
+            **pect_kwargs):
+    """Reference `DMImagePreprocessor.process` orchestration (:159-176):
+    optional median blur (blur_kn_size), artifact suppression, and — when
+    pect_removal — the pectoral-removal result ALWAYS becomes the primary
+    image (the reference overwrites img_proc unconditionally at :172)."""
     img_proc = img
     if median_filtering:
-        img_proc = median_blur3(img_proc)
+        img_proc = median_blur(img_proc, blur_kn_size)
     img_proc_s, mask_ = suppress_artifacts(
         img_proc, global_threshold=low_int_threshold, kernel_size=kernel_size
     )
@@ -166,7 +179,7 @@ def process(img: jax.Array, median_filtering: bool = True,
         res = remove_pectoral(img_proc, mask_,
                               high_int_threshold=high_int_threshold,
                               **pect_kwargs)
-        return img_proc if not artif_suppression else res.img_breast_only, res
+        return res.img_breast_only, res
     return img_proc, None
 
 
@@ -180,19 +193,23 @@ def boundary_image_gray(res: PectoralResult) -> jax.Array:
     return jnp.where(res.boundary, 0.299 * 255.0, g)
 
 
-@jax.jit
-def clean_for_unet(img: jax.Array) -> jax.Array:
-    """Full app preprocessing path (app.py:96-144), one XLA program:
-
-    uint8 rescale -> suppress_artifacts -> segment_breast(crop=False) ->
-    remove_pectoral -> 512x512 INTER_AREA resize -> grayscale in [0,1]
-    ready for the U-Net encoder.
-    """
+def clean_boundary_gray(img: jax.Array) -> jax.Array:
+    """The app's cleaning chain at native resolution (app.py:96-135):
+    uint8 rescale -> suppress_artifacts(0.05, 15) ->
+    segment_breast(crop=False, 0.05) -> remove_pectoral(0.8, 3, 7, 25) ->
+    boundary-painted grayscale in [0, 255] float32. Shared by
+    clean_for_unet, the serving engine, and the fused pipeline."""
     raw8 = to_uint8(img)
     img_suppr, breast_mask = suppress_artifacts(raw8, 0.05, 15)
     img_breast_only, _ = segment_breast_mask(img_suppr, 0.05)
     res = remove_pectoral(img_breast_only.astype(jnp.uint8), breast_mask,
                           0.8, 3, 7, 25)
-    gray = boundary_image_gray(res)
-    resized = resize_area(gray, (512, 512))
-    return resized / 255.0
+    return boundary_image_gray(res)
+
+
+@jax.jit
+def clean_for_unet(img: jax.Array) -> jax.Array:
+    """Full app preprocessing path (app.py:96-144), one XLA program:
+    cleaning chain -> 512x512 INTER_AREA resize -> [0,1] grayscale ready
+    for the U-Net encoder."""
+    return resize_area(clean_boundary_gray(img), (512, 512)) / 255.0

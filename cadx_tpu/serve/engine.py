@@ -29,7 +29,6 @@ import jax.numpy as jnp
 from cadx_tpu import checkpoint as _ckpt
 from cadx_tpu.models import cnn, unet
 from cadx_tpu.ops.resize import resize_area, resize_linear
-from cadx_tpu.ops.threshold import to_uint8
 from cadx_tpu.preprocess import cleaner
 from cadx_tpu.xai import gradcam
 
@@ -104,12 +103,7 @@ class InferenceEngine:
 
         @jax.jit
         def run(img):
-            raw8 = to_uint8(img)
-            img_suppr, breast_mask = cleaner.suppress_artifacts(raw8, 0.05, 15)
-            img_breast_only, _ = cleaner.segment_breast_mask(img_suppr, 0.05)
-            res = cleaner.remove_pectoral(img_breast_only.astype(jnp.uint8),
-                                          breast_mask, 0.8, 3, 7, 25)
-            gray = cleaner.boundary_image_gray(res)
+            gray = cleaner.clean_boundary_gray(img)
             resized = resize_area(gray, hw)
             feats = unet.encoder_first_features(
                 self.encoder_params, (resized / 255.0)[None, ..., None])[0]

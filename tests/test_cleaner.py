@@ -128,3 +128,69 @@ def test_bounding_rect_matches_cv2(rng):
     x, y, w, h = (int(v) for v in cleaner._bounding_rect(jnp.asarray(mask)))
     rx, ry, rw, rh = cv2.boundingRect(mask.astype(np.uint8))
     assert (x, y, w, h) == (rx, ry, rw, rh)
+
+
+def test_absolute_threshold_branch(ref_preprocessor, mammo):
+    """Thresholds >= 1.0 are ABSOLUTE pixel values like the reference."""
+    ref_img, ref_mask = ref_preprocessor.suppress_artifacts(
+        mammo, global_threshold=30, fill_holes=True, smooth_boundary=True,
+        kernel_size=15)
+    ours_img, ours_mask = cleaner.suppress_artifacts(jnp.asarray(mammo), 30, 15)
+    assert _iou(ours_mask, ref_mask) > 0.99
+
+
+def test_uint16_suppress_preserves_depth(mammo):
+    """uint16 inputs keep their high byte through the mask AND."""
+    img16 = (mammo.astype(np.uint16) * 257)  # spread to 16-bit range
+    out, mask = cleaner.suppress_artifacts(jnp.asarray(img16), 0.05, 15)
+    out = np.asarray(out)
+    assert out.dtype == np.uint16
+    assert out.max() > 255  # high byte survived
+    inside = np.asarray(mask) > 0
+    np.testing.assert_array_equal(out[inside], img16[inside])
+
+
+def test_ring_artifact_interior_not_added(ref_preprocessor):
+    """Holes of NON-largest objects stay background (the reference floods
+    largest_mask with other objects zeroed)."""
+    img = np.zeros((128, 128), np.uint8)
+    cv2.circle(img, (40, 64), 30, 200, -1)            # solid breast blob
+    cv2.circle(img, (100, 30), 12, 220, 3)            # ring artifact
+    ref_mask = ref_preprocessor.select_largest_obj(
+        (img > 10).astype(np.uint8) * 255, lab_val=255, fill_holes=True)
+    ours = np.asarray(cleaner.select_largest_obj(
+        jnp.asarray((img > 10).astype(np.uint8) * 255), 255, fill_holes_=True))
+    np.testing.assert_array_equal(ours > 0, ref_mask > 0)
+    assert not ours[30, 100]  # ring interior NOT in the mask
+
+
+def test_segment_selects_by_filled_area(ref_preprocessor):
+    """Largest-contour selection uses FILLED area like cv2.contourArea:
+    a hollow ring with a big interior beats a smaller solid blob."""
+    img = np.zeros((128, 128), np.uint8)
+    cv2.circle(img, (40, 64), 22, 180, -1)            # solid blob (~1500 px)
+    cv2.circle(img, (95, 64), 30, 180, 4)             # ring, filled area ~2800
+    ref_img, ref_rect = ref_preprocessor.segment_breast(img, low_int_threshold=0.05,
+                                                        crop=False)
+    ours_img, ours_rect = cleaner.segment_breast_mask(jnp.asarray(img), 0.05)
+    assert tuple(int(v) for v in ours_rect) == tuple(ref_rect)
+    assert _iou(np.asarray(ours_img) > 0, ref_img > 0) > 0.98
+
+
+def test_process_pect_removal_return_and_blur_param(mammo):
+    """process(pect_removal=True) returns the pectoral-removed image even
+    with artif_suppression=False, and blur_kn_size is honored."""
+    out, res = cleaner.process(jnp.asarray(mammo), median_filtering=True,
+                               blur_kn_size=5, artif_suppression=False,
+                               pect_removal=True)
+    assert res is not None
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(res.img_breast_only))
+
+
+def test_median_blur5_matches_cv2(rng):
+    from cadx_tpu.ops.morphology import median_blur
+
+    img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(median_blur(jnp.asarray(img), 5)), cv2.medianBlur(img, 5))
