@@ -27,8 +27,15 @@ from cadx_tpu.train.summary import config_from_summary
 
 
 def advanced_config_from_summary(summary: dict) -> cnn.CNNConfig:
-    """Advanced models use padding=1 convs (ADCNNM.py:48), i.e. SAME."""
+    """Advanced models use padding=1 convs (ADCNNM.py:48), which equals
+    SAME only for 3x3 kernels — reject other sizes rather than silently
+    computing a different network."""
     base = config_from_summary(summary)
+    bad = [k for _, k in base.conv_layers if k != 3]
+    if bad:
+        raise ValueError(
+            f"torch-compat import supports 3x3 convs only (padding=1 == "
+            f"SAME); got kernel sizes {bad}")
     import dataclasses
 
     return dataclasses.replace(base, conv_padding="SAME")

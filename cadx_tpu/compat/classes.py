@@ -168,11 +168,13 @@ class TinyUNetModel:
 
         history = []
         for epoch in range(epochs):
-            total = 0.0
+            losses, weights = [], []
             for i in range(0, len(x), batch_size):
                 xb = jnp.asarray(x[i : i + batch_size])
                 self.params, opt_state, loss = train_step(self.params, opt_state, xb)
-                total += float(loss) * len(xb)
+                losses.append(loss)          # device scalars; fetch once/epoch
+                weights.append(float(len(xb)))
+            total = float(jnp.stack(losses) @ jnp.asarray(weights, jnp.float32))
             history.append(total / max(len(x), 1))
             if verbose:
                 print(f"[tiny_unet] epoch {epoch+1}/{epochs} mse={history[-1]:.5f}")
@@ -361,7 +363,7 @@ class CNNModel:
         return float(_cnn.cross_entropy(jnp.asarray(probs), jnp.asarray(y_true)))
 
     def train(self, X, y_onehot, X_test, y_test, epochs=10, lr=0.01,
-              batch_size=8, log=print):
+              batch_size=8, optimizer="sgd", log=print):
         """Reference train loop semantics (shuffle/batch/clip/decay/best-
         weights restore), executed as jitted batched XLA programs."""
         y_test = np.asarray(y_test)
@@ -370,7 +372,7 @@ class CNNModel:
             self.params, self.config,
             np.asarray(X, np.float32), np.asarray(y_onehot, np.float32),
             np.asarray(X_test, np.float32), y_test_labels,
-            epochs=epochs, lr=lr, batch_size=batch_size, optimizer="sgd",
+            epochs=epochs, lr=lr, batch_size=batch_size, optimizer=optimizer,
             log_fn=log,
         )
         self.params = res.params
@@ -528,7 +530,8 @@ class ModelTrainer:
 
     def train(self, X, y_onehot, X_test, y_test, epochs=10, batch_size=8):
         return self.model.train(X, y_onehot, X_test, y_test, epochs=epochs,
-                                lr=self._compiled["lr"], batch_size=batch_size)
+                                lr=self._compiled["lr"], batch_size=batch_size,
+                                optimizer=self._compiled["optimizer"])
 
     def cross_validate(self, X, y_labels, n_splits: int = 5, **kw):
         cv = CrossValidator(n_splits)

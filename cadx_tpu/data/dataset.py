@@ -66,17 +66,25 @@ def load_mapping_csv(mapping_csv_path: str,
         except Exception as e:  # noqa: BLE001 — reference skips any bad file
             log(f"Error reading {file_path}: {e}")
 
-    raw_images, raw_classes_str = [], []
+    kept_records, raw_images, raw_classes_str = [], [], []
     for item in records:
         try:
-            raw_images.append(np.asarray(item["DICOM"].pixel_array))
-            raw_classes_str.append(item["Class"])
+            pixels = np.asarray(item["DICOM"].pixel_array)
         except Exception as e:  # noqa: BLE001
             log(f"Skipping file due to pixel extraction error: {e}")
+            continue
+        # drop the record too: records[i] must stay aligned with
+        # raw_images[i]/raw_classes[i] (the reference kept them
+        # desynchronized — Preprocessing.py:94-105 — a defect, not a
+        # behavior to preserve)
+        kept_records.append(item)
+        raw_images.append(pixels)
+        raw_classes_str.append(item["Class"])
 
     encoder = fit_label_encoder(raw_classes_str)
     raw_classes = [encoder[c] for c in raw_classes_str]
-    return MammogramDataset(records, raw_images, raw_classes_str, raw_classes, encoder)
+    return MammogramDataset(kept_records, raw_images, raw_classes_str,
+                            raw_classes, encoder)
 
 
 # ---------------------------------------------------------------------------
@@ -117,7 +125,9 @@ def augment_images(images: np.ndarray, labels: np.ndarray, *, seed: int = 0,
     if flips:
         out_x.append(images[:, :, ::-1])
         out_y.append(labels)
-    if rot90:
+    if rot90 and images.shape[1] == images.shape[2]:
+        # 90-degree rotation changes the shape of non-square images and
+        # could not be concatenated with the originals
         out_x.append(np.rot90(images, k=1, axes=(1, 2)))
         out_y.append(labels)
     x = np.concatenate(out_x)

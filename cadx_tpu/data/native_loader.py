@@ -121,16 +121,31 @@ class NativeBatchLoader:
         self.batch_size = batch_size
         self.out_hw = out_hw
         self._n = len(paths)
+        self._n_workers = n_workers
+        self._normalize = normalize
         self._encoded = [p.encode() for p in paths]
-        arr = (ctypes.c_char_p * len(paths))(*self._encoded)
         self._labels = np.asarray(labels, np.int32)
+        self._exhausted = False
+        self._handle = None
+        self._start_epoch()
+
+    def _start_epoch(self) -> None:
+        if self._handle:
+            self._lib.cadx_loader_destroy(self._handle)
+        arr = (ctypes.c_char_p * self._n)(*self._encoded)
         self._handle = self._lib.cadx_loader_create(
-            arr, self._labels, len(paths), batch_size, out_hw[0], out_hw[1],
-            n_workers, int(normalize))
+            arr, self._labels, self._n, self.batch_size,
+            self.out_hw[0], self.out_hw[1], self._n_workers,
+            int(self._normalize))
         if not self._handle:
             raise NativeUnavailable("cadx_loader_create returned NULL")
+        self._exhausted = False
 
     def __iter__(self):
+        # a fresh iteration pass restarts the epoch (the worker pool is
+        # one-shot on the C side)
+        if self._exhausted:
+            self._start_epoch()
         return self
 
     def __next__(self):
@@ -139,6 +154,7 @@ class NativeBatchLoader:
         ok = np.empty((self.batch_size,), np.int32)
         count = self._lib.cadx_loader_next(self._handle, data, labels, ok)
         if count == 0:
+            self._exhausted = True
             raise StopIteration
         return data[:count], labels[:count], ok[:count].astype(bool)
 

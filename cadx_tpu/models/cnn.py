@@ -40,6 +40,10 @@ class CNNConfig:
     conv_padding: str = "VALID"  # "VALID" = basic model; 1-pad SAME-ish = advanced
 
     def __post_init__(self):
+        if self.conv_padding not in ("VALID", "SAME"):
+            raise ValueError(
+                f"conv_padding must be 'VALID' or 'SAME', got "
+                f"{self.conv_padding!r}")
         h, w, _ = self.input_shape
         for i, (f, k) in enumerate(self.conv_layers):
             if self.conv_padding == "VALID":
@@ -161,6 +165,45 @@ def reference_softmax(z: jax.Array) -> jax.Array:
     return jnp.where(s == 0, uniform, exps / (s + 1e-12))
 
 
+# HIGHEST precision keeps TPU results faithful to the float64 oracle
+# (default MXU bf16 passes drift ~3e-3); these matmuls are tiny.
+_dot = functools.partial(jnp.dot, precision=jax.lax.Precision.HIGHEST)
+
+
+def conv_stack(params: dict, x: jax.Array, config: CNNConfig) -> jax.Array:
+    """The conv+pool feature stack -> (B, h, w, F) activations.
+
+    Shared by apply() and the Grad-CAM split forward (xai.gradcam) so the
+    CAM is always computed on the same network predict() uses. SAME
+    padding is true same (k//2) for odd kernels — identical to the torch
+    advanced model's padding=1 at its k=3.
+    """
+    alpha = config.leaky_alpha
+    out = x
+    for layer in params["conv"]:
+        k = layer["kernel"].shape[0]
+        padding = "VALID" if config.conv_padding == "VALID" else k // 2
+        out = leaky_relu(conv2d(out, layer["kernel"], layer["bias"], padding=padding), alpha)
+        out = max_pool_ties(out, 2)
+    return out
+
+
+def head_logits(params: dict, feats: jax.Array, config: CNNConfig, *,
+                training: bool = False, rng: jax.Array | None = None) -> jax.Array:
+    """Dense+LeakyReLU(+dropout) chain + output logits from conv features."""
+    alpha = config.leaky_alpha
+    out = feats.reshape(feats.shape[0], -1)
+    if training and config.dropout_rate > 0.0 and rng is not None:
+        drop_keys = jax.random.split(rng, len(params["dense"]))
+    for i, layer in enumerate(params["dense"]):
+        z = _dot(out, layer["kernel"]) + layer["bias"]
+        out = leaky_relu(z, alpha)
+        if training and config.dropout_rate > 0.0 and rng is not None:
+            keep = jax.random.uniform(drop_keys[i], out.shape) > config.dropout_rate
+            out = out * keep.astype(out.dtype) / (1.0 - config.dropout_rate)
+    return _dot(out, params["output"]["kernel"]) + params["output"]["bias"]
+
+
 def apply(
     params: dict,
     x: jax.Array,
@@ -176,26 +219,8 @@ def apply(
     pool, flatten (row-major H,W,C like NumPy .flatten()), dense+LeakyReLU
     with inverted dropout, then the output layer's pre-softmax logits.
     """
-    alpha = config.leaky_alpha
-    padding = config.conv_padding if config.conv_padding == "VALID" else 1
-    out = x
-    for layer in params["conv"]:
-        out = leaky_relu(conv2d(out, layer["kernel"], layer["bias"], padding=padding), alpha)
-        out = max_pool_ties(out, 2)
-    out = out.reshape(out.shape[0], -1)
-    if training and config.dropout_rate > 0.0 and rng is not None:
-        drop_keys = jax.random.split(rng, len(params["dense"]))
-    # HIGHEST precision keeps TPU results faithful to the float64 oracle
-    # (default MXU bf16 passes drift ~3e-3); these matmuls are tiny.
-    _dot = functools.partial(jnp.dot, precision=jax.lax.Precision.HIGHEST)
-    for i, layer in enumerate(params["dense"]):
-        z = _dot(out, layer["kernel"]) + layer["bias"]
-        out = leaky_relu(z, alpha)
-        if training and config.dropout_rate > 0.0 and rng is not None:
-            keep = jax.random.uniform(drop_keys[i], out.shape) > config.dropout_rate
-            out = out * keep.astype(out.dtype) / (1.0 - config.dropout_rate)
-    logits = _dot(out, params["output"]["kernel"]) + params["output"]["bias"]
-    return logits
+    feats = conv_stack(params, x, config)
+    return head_logits(params, feats, config, training=training, rng=rng)
 
 
 def forward(params, x, config, *, training=False, rng=None) -> jax.Array:

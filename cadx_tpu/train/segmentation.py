@@ -83,19 +83,25 @@ def fit_segmentation(
 
     rng = np.random.default_rng(seed)
     n = len(X)
+    batch_size = min(batch_size, n)  # small datasets still train
     xv = jnp.asarray(X_val)
     yv = jnp.asarray(Y_val)
     history = []
     for epoch in range(epochs):
         perm = rng.permutation(n)
-        total = 0.0
-        for i in range(0, n - batch_size + 1, batch_size):
+        losses, weights = [], []
+        for i in range(0, n, batch_size):
             idx = perm[i : i + batch_size]
+            if len(idx) < batch_size:  # wrap the tail to keep shapes static
+                idx = np.concatenate([idx, perm[: batch_size - len(idx)]])
             params, opt_state, loss = step_fn(
                 params, opt_state, jnp.asarray(X[idx]), jnp.asarray(Y[idx]))
-            total += float(loss) * len(idx)
+            losses.append(loss)              # device scalars; fetch once/epoch
+            weights.append(float(len(idx)))
+        total = float(jnp.stack(losses) @ jnp.asarray(weights, jnp.float32))
         iou, dice = val_metrics(params, xv, yv)
-        row = {"epoch": epoch + 1, "loss": total / max(n - n % batch_size, 1),
+        row = {"epoch": epoch + 1,
+               "loss": total / max(sum(weights), 1.0),
                "val_iou": float(iou), "val_dice": float(dice)}
         history.append(row)
         log(f"[SEG {epoch+1}/{epochs}] loss={row['loss']:.4f} "

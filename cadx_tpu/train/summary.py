@@ -69,6 +69,9 @@ def build_summary(
             "conv_layers": [list(c) for c in config.conv_layers],
             "hidden_units": list(config.hidden_units),
             "dropout_rate": config.dropout_rate,
+            # extension over the reference block: without it a non-default
+            # alpha silently reloads as 0.01
+            "leaky_alpha": config.leaky_alpha,
         },
         "training": {
             "epochs": epochs,
@@ -103,6 +106,7 @@ def config_from_summary(summary: dict) -> CNNConfig:
         conv_layers=tuple(tuple(c) for c in summary["model"]["conv_layers"]),
         hidden_units=tuple(summary["model"]["hidden_units"]),
         dropout_rate=float(summary["model"]["dropout_rate"]),
+        leaky_alpha=float(summary["model"].get("leaky_alpha", 0.01)),
     )
 
 

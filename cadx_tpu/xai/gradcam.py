@@ -24,30 +24,13 @@ import numpy as np
 
 from cadx_tpu.models import cnn
 from cadx_tpu.ops.colormap import apply_jet
-from cadx_tpu.ops.conv import conv2d, leaky_relu
-from cadx_tpu.ops.pool import max_pool_ties
 from cadx_tpu.ops.resize import resize_linear
 
 
-def conv_features(params, x: jax.Array, config: cnn.CNNConfig) -> jax.Array:
-    """Activations of the LAST conv block, post-pool (B, h, w, F)."""
-    alpha = config.leaky_alpha
-    padding = config.conv_padding if config.conv_padding == "VALID" else 1
-    out = x
-    for layer in params["conv"]:
-        out = leaky_relu(conv2d(out, layer["kernel"], layer["bias"], padding=padding), alpha)
-        out = max_pool_ties(out, 2)
-    return out
-
-
-def head_logits(params, feats: jax.Array, config: cnn.CNNConfig) -> jax.Array:
-    alpha = config.leaky_alpha
-    out = feats.reshape(feats.shape[0], -1)
-    # HIGHEST precision: parity with the float64 oracle on TPU MXUs
-    _dot = functools.partial(jnp.dot, precision=jax.lax.Precision.HIGHEST)
-    for layer in params["dense"]:
-        out = leaky_relu(_dot(out, layer["kernel"]) + layer["bias"], alpha)
-    return _dot(out, params["output"]["kernel"]) + params["output"]["bias"]
+# the SAME forward pieces predict() uses (models.cnn) — a CAM computed on
+# a diverged re-implementation would explain a different network
+conv_features = cnn.conv_stack
+head_logits = cnn.head_logits
 
 
 @functools.partial(jax.jit, static_argnames=("config", "class_idx"))
@@ -78,8 +61,20 @@ def gradcam_overlay(params, x: jax.Array, display_img_u8: jax.Array,
     cam_big = jnp.clip(resize_linear(cam, out_hw), 0.0, 1.0)
     heatmap_u8 = (cam_big * 255).astype(jnp.uint8)
 
-    # show_cam_on_image: jet(uint8 cam) BGR -> RGB floats + img, renorm
-    jet_bgr = apply_jet(heatmap_u8).astype(jnp.float32) / 255.0
+    # show_cam_on_image: jet(uint8 cam) BGR -> RGB floats + img, renorm.
+    # The one-hot-matmul LUT materializes (pixels, 256) floats; beyond
+    # ~1.5MP displays that is gigabytes, so large outputs colormap at a
+    # bounded intermediate resolution and bilinearly resize the colors
+    # (sub-1-count differences at jet band edges).
+    if out_hw[0] * out_hw[1] <= 1_500_000:
+        jet_bgr = apply_jet(heatmap_u8).astype(jnp.float32) / 255.0
+    else:
+        scale = (out_hw[0] * out_hw[1] / 1_500_000) ** 0.5
+        mid_hw = (max(int(out_hw[0] / scale), 1), max(int(out_hw[1] / scale), 1))
+        heat_mid = (jnp.clip(resize_linear(cam, mid_hw), 0.0, 1.0) * 255
+                    ).astype(jnp.uint8)
+        jet_mid = apply_jet(heat_mid).astype(jnp.float32)
+        jet_bgr = jnp.clip(resize_linear(jet_mid, out_hw), 0, 255) / 255.0
     jet_rgb = jet_bgr[..., ::-1]
     if display_img_u8.ndim == 2:
         img_rgb = jnp.stack([display_img_u8] * 3, axis=-1)
