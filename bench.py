@@ -68,7 +68,10 @@ def main():
     iters = 20
     t0 = time.perf_counter()
     outs = [fused.run_pipeline_checksum(params, x, config) for _ in range(iters)]
-    total = sum(float(o) for o in outs)
+    # ONE device->host fetch: the in-order execution queue guarantees all
+    # prior iterations completed before the last result exists (a fetch
+    # per iteration would add ~30ms of tunnel round-trip to every batch)
+    total = float(jnp.stack(outs).sum())
     assert np.isfinite(total)
     elapsed = time.perf_counter() - t0
     per_batch = elapsed / iters

@@ -64,7 +64,7 @@ class CNNConfig:
     def to_json_dict(self) -> dict[str, Any]:
         # Key names/order match the reference save_model config
         # (Classes/CNNModel.py:535-541 + leaky_alpha as in load_weights :45).
-        return {
+        out = {
             "input_shape": list(self.input_shape),
             "num_classes": self.num_classes,
             "conv_layers": [list(cl) for cl in self.conv_layers],
@@ -72,6 +72,11 @@ class CNNConfig:
             "dropout_rate": self.dropout_rate,
             "leaky_alpha": self.leaky_alpha,
         }
+        if self.conv_padding != "VALID":
+            # schema extension: SAME models must not round-trip as VALID
+            # (basic/reference models keep the exact reference key set)
+            out["conv_padding"] = self.conv_padding
+        return out
 
     @classmethod
     def from_json_dict(cls, d: dict[str, Any]) -> "CNNConfig":
@@ -82,6 +87,7 @@ class CNNConfig:
             hidden_units=tuple(d["hidden_units"]),
             dropout_rate=float(d["dropout_rate"]),
             leaky_alpha=float(d.get("leaky_alpha", 0.01)),
+            conv_padding=d.get("conv_padding", "VALID"),
         )
 
     # ---- derived shapes ----

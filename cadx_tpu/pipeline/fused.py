@@ -77,13 +77,12 @@ def _clean_one(img_u8: jax.Array) -> jax.Array:
     return cleaner.clean_boundary_gray(img_u8) / 255.0
 
 
-def _gradcam_tail(params_cls, feats_small, clean01, class_idx, config: PipelineConfig):
-    """Batched CAM -> upsample -> jet -> show_cam_on_image blend."""
-    from cadx_tpu.xai.gradcam import conv_features, head_logits
+def _gradcam_tail(acts, vjp_fn, clean01, class_idx, config: PipelineConfig):
+    """Batched CAM -> upsample -> jet -> show_cam_on_image blend.
 
-    acts = conv_features(params_cls, feats_small, config.classifier)
-    _, vjp_fn = jax.vjp(lambda f: head_logits(params_cls, f, config.classifier), acts)
-    b = feats_small.shape[0]
+    acts/vjp_fn are computed ONCE by the caller and reused per class —
+    only the vjp seed differs between explained classes."""
+    b = acts.shape[0]
     seed = jnp.zeros((b, config.classifier.num_classes)).at[:, class_idx].set(1.0)
     (grads,) = vjp_fn(seed)
     weights = grads.mean(axis=(1, 2), keepdims=True)
@@ -112,11 +111,16 @@ def run_pipeline(params: PipelineParams, batch_u8: jax.Array,
     predicted = jnp.argmax(probs, axis=-1)
 
     overlays, heatmaps = [], []
-    for class_idx in config.classes_to_explain:
-        ov, hm = _gradcam_tail(params.classifier, feats_small, clean01,
-                               class_idx, config)
-        overlays.append(ov)
-        heatmaps.append(hm)
+    if config.classes_to_explain:
+        from cadx_tpu.xai.gradcam import conv_features, head_logits
+
+        acts = conv_features(params.classifier, feats_small, config.classifier)
+        _, vjp_fn = jax.vjp(
+            lambda f: head_logits(params.classifier, f, config.classifier), acts)
+        for class_idx in config.classes_to_explain:
+            ov, hm = _gradcam_tail(acts, vjp_fn, clean01, class_idx, config)
+            overlays.append(ov)
+            heatmaps.append(hm)
 
     b = batch_u8.shape[0]
     h, w = config.image_hw

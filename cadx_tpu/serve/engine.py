@@ -197,7 +197,13 @@ class InferenceEngine:
     # ------------------------------------------------------------------
     def classify_batch(self, images_u8: np.ndarray, pipeline: str = "basic") -> list[dict]:
         """(B, H, W) uint8 at segment_hw -> one result row per image, all
-        stages in one fused batched XLA program."""
+        stages in one fused batched XLA program.
+
+        Note: batching requires uniform shapes, so images are resized to
+        segment_hw BEFORE cleaning; the single-image path cleans at native
+        resolution first (app.py order). Resolution-dependent cleaning
+        stages can therefore differ slightly between the two endpoints
+        for very large originals."""
         from cadx_tpu.pipeline import fused
 
         pcfg = fused.PipelineConfig(

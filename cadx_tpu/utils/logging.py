@@ -30,6 +30,11 @@ class Logger:
         self.terminal.flush()
         self.file.flush()
 
+    def __getattr__(self, name):
+        # delegate everything else (isatty, encoding, buffer, fileno, ...)
+        # so libraries probing sys.stdout keep working under the tee
+        return getattr(self.terminal, name)
+
 
 @contextlib.contextmanager
 def tee_stdout(path: str = "Training_And_Validation.txt", mode: str = "w"):

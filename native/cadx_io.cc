@@ -58,7 +58,7 @@ DicomImage parse_dicom(const uint8_t* data, size_t n) {
   size_t off = 132;
   bool explicit_vr = true;
   std::string ts = "1.2.840.10008.1.2.1";
-  int rows = 0, cols = 0, bits = 16;
+  int rows = 0, cols = 0, bits = 16, pixel_rep = 0, samples = 1;
   const uint8_t* pixel_data = nullptr;
   size_t pixel_len = 0;
 
@@ -103,12 +103,16 @@ DicomImage parse_dicom(const uint8_t* data, size_t n) {
     if (group == 0x0002 && elem == 0x0010) {
       ts.assign(reinterpret_cast<const char*>(value), length);
       while (!ts.empty() && (ts.back() == '\0' || ts.back() == ' ')) ts.pop_back();
-    } else if (group == 0x0028 && elem == 0x0010) {
-      rows = rd16(value);
-    } else if (group == 0x0028 && elem == 0x0011) {
-      cols = rd16(value);
-    } else if (group == 0x0028 && elem == 0x0100) {
+    } else if (group == 0x0028 && elem == 0x0010 && length >= 2) {
+      rows = rd16(value);  // length checked: declared-0 elements must not
+    } else if (group == 0x0028 && elem == 0x0011 && length >= 2) {
+      cols = rd16(value);  // read past the buffer
+    } else if (group == 0x0028 && elem == 0x0100 && length >= 2) {
       bits = rd16(value);
+    } else if (group == 0x0028 && elem == 0x0103 && length >= 2) {
+      pixel_rep = rd16(value);
+    } else if (group == 0x0028 && elem == 0x0002 && length >= 2) {
+      samples = rd16(value);
     } else if (group == 0x7FE0 && elem == 0x0010) {
       pixel_data = value;
       pixel_len = length;
@@ -118,6 +122,16 @@ DicomImage parse_dicom(const uint8_t* data, size_t n) {
 
   if (!pixel_data || rows <= 0 || cols <= 0) {
     out.error = "missing PixelData or Rows/Columns";
+    return out;
+  }
+  if (pixel_rep != 0) {
+    // the python reader returns int16 for signed data; memcpy'ing signed
+    // values into the uint16 buffer would silently corrupt intensities
+    out.error = "signed pixel data not supported by the native loader";
+    return out;
+  }
+  if (samples != 1) {
+    out.error = "multi-sample (non-monochrome) pixel data not supported";
     return out;
   }
   size_t count = static_cast<size_t>(rows) * cols;
@@ -286,8 +300,10 @@ void* cadx_loader_create(const char** paths, const int32_t* labels, int n,
   return st;
 }
 
-// Fetch the next ready batch. Returns number of valid items, 0 when the
-// epoch is exhausted. Buffers must hold batch_size*H*W floats / ints.
+// Fetch the next ready batch. Returns the number of SLOTS filled for this
+// batch (including failed parses, which have ok_out=0 and labels_out=-1 —
+// callers must filter on ok_out); returns 0 when the epoch is exhausted.
+// Buffers must hold batch_size*H*W floats / ints.
 int cadx_loader_next(void* handle, float* data_out, int32_t* labels_out,
                      int32_t* ok_out) {
   auto* st = static_cast<LoaderState*>(handle);
