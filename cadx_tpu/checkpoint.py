@@ -49,7 +49,10 @@ def save_npz(params: dict, config: CNNConfig, path: str) -> None:
 def load_npz(path: str, dtype=jnp.float32) -> tuple[CNNConfig, dict]:
     """Load a reference-schema ``.npz`` into (CNNConfig, params pytree)."""
     try:
-        data = np.load(path, allow_pickle=True)
+        # allow_pickle=False: the reference schema is pickle-free (config
+        # is a plain string array, weights numeric) and serve/tools pass
+        # user-supplied paths here — pickle would mean arbitrary code exec
+        data = np.load(path, allow_pickle=False)
         config = CNNConfig.from_json_dict(json.loads(str(data["config"])))
         idx = config.layer_indices()
         params: dict[str, Any] = {"conv": [], "dense": []}

@@ -213,8 +213,19 @@ class CADxApp:
     @_locked
     def upload_bulk_image(self, image_name: str, breast: str = "",
                           modality: str = "") -> dict:
-        path = os.path.join(self.ws.folder("bulk"), image_name)
-        if not image_name or not os.path.exists(path):
+        # path-traversal guard: the name must be a bare filename and the
+        # resolved path must stay inside the bulk folder ('../x' or an
+        # absolute path would otherwise read any host file with an image
+        # extension and republish it under /static/images)
+        bulk = os.path.realpath(self.ws.folder("bulk"))
+        if not image_name or os.path.basename(image_name) != image_name:
+            return {"error": "invalid image name",
+                    "redirect": "/bulk-select-parameters"}
+        path = os.path.join(bulk, image_name)
+        if os.path.commonpath([os.path.realpath(path), bulk]) != bulk:
+            return {"error": "invalid image name",
+                    "redirect": "/bulk-select-parameters"}
+        if not os.path.exists(path):
             return {"error": f"{image_name} does not exist",
                     "redirect": "/bulk-select-parameters"}
         with open(path, "rb") as f:
@@ -344,11 +355,20 @@ class CADxApp:
         return {"classificationData": [result], "image_filename": image_filename}
 
     @_locked
-    def roi(self, pipeline: str = "basic") -> dict:
+    def roi(self, pipeline: str = "basic", reference_parity: bool = False) -> dict:
+        """Per-class ROI payload. Coordinates come from each class's CAM
+        (xai/roi.py) — real, image-dependent rectangles. The reference
+        hardcodes one rectangle for every image (app.py:714); pass
+        reference_parity=True to reproduce that constant."""
         features, err = self._load_features()
         if err:
             return err
         base = self.engine.classify(features, pipeline)
+        if reference_parity:
+            coords = [{"top": 0.20, "left": 0.30,
+                       "width": 0.20, "height": 0.175}] * 2
+        else:
+            coords = self.engine.roi_coords_per_class(features, pipeline)
         self.ws.wait("gradcam")  # overlays ready before the viewer reads them
         results = []
         for class_idx in range(2):
@@ -362,7 +382,7 @@ class CADxApp:
                 "confidence": float(probs[class_idx] * 100),
                 "diagnosis": base["predicted_class"],
                 "explainability": 0.5,
-                "roiCoords": {"top": 0.20, "left": 0.30, "width": 0.20, "height": 0.175},
+                "roiCoords": coords[class_idx],
                 "overlay_path": f"explainability/gradcam_overlay_class_{class_idx}.png",
             })
         cases = self.ws.read_cases()
@@ -539,7 +559,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._respond(out, T.classification,
                           status=out.pop("status", 200) if "error" in out else 200)
         elif route == "/roi":
-            out = app.roi(self._pipeline(query))
+            ref_parity = query.get("reference_parity", ["0"])[0] in ("1", "true")
+            out = app.roi(self._pipeline(query), reference_parity=ref_parity)
             self._respond(out, T.roi,
                           status=out.pop("status", 200) if "error" in out else 200)
         elif route == "/bulk-select-parameters":

@@ -133,17 +133,35 @@ class InferenceEngine:
         out = resize_linear(jnp.asarray(f), self.config.feature_resize)
         return np.asarray(out)
 
+    def _prep_classifier_input(self, features: np.ndarray, pipeline: str):
+        """Features -> (classifier input, params, config) for a pipeline."""
+        if pipeline == "basic":
+            feats_in = jnp.asarray(self.process_bottleneck_features(features))
+            return feats_in, self.basic_params, self.config.basic_classifier
+        feats_in = jnp.asarray(self._to_hwc(np.asarray(features, np.float32)))
+        return feats_in, self.advanced_params, self.config.advanced_classifier
+
+    def roi_coords_per_class(self, features: np.ndarray,
+                             pipeline: str = "basic",
+                             class_indices=(0, 1)) -> list[dict]:
+        """CAM-derived roiCoords for each requested class — the real
+        coordinates the ROI viewer draws (the reference hardcodes one
+        rectangle for every image, app.py:714)."""
+        from cadx_tpu.xai.gradcam import gradcam_map
+        from cadx_tpu.xai.roi import roi_coords_dict
+
+        feats_in, params, cfg = self._prep_classifier_input(features, pipeline)
+        return [roi_coords_dict(gradcam_map(params, feats_in, ci, cfg))
+                for ci in class_indices]
+
     def classify(self, features: np.ndarray, pipeline: str = "basic") -> dict:
         """One sample -> result dict shaped like the reference's results
         rows (app.py:555-564 / :597-606)."""
+        feats_in, params, cfg = self._prep_classifier_input(features, pipeline)
         if pipeline == "basic":
-            feats_in = jnp.asarray(self.process_bottleneck_features(features))
             cls_idx, probs = self._predict_basic(feats_in)
-            params, cfg = self.basic_params, self.config.basic_classifier
         else:
-            feats_in = jnp.asarray(self._to_hwc(np.asarray(features, np.float32)))
             cls_idx, probs = self._predict_advanced(feats_in)
-            params, cfg = self.advanced_params, self.config.advanced_classifier
         cls_idx = int(cls_idx)
         probs = np.asarray(probs)
 

@@ -177,7 +177,9 @@ def fit(
     y_onehot = np.asarray(y_onehot, dtype=np.float32)
     # the jitted steps DONATE their params argument on TPU; copy once so
     # the caller's pytree stays valid after fit() returns or raises
-    params = jax.tree_util.tree_map(jnp.asarray, params)
+    # (jnp.asarray is a no-op on JAX arrays — a real copy is required)
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.array(a, copy=True), params)
     n = len(X)
     host_rng = np.random.default_rng(seed)
     dropout_key = jax.random.key(seed)

@@ -3,6 +3,7 @@ temp workspace (the SURVEY test-strategy item the reference lacked)."""
 
 import io
 import json
+import os
 import threading
 import urllib.request
 import zipfile
@@ -135,11 +136,29 @@ def test_full_single_image_flow(server):
     assert status == 200
     assert len(body["classificationData"]) == 2
     assert body["class_0_image_path"].endswith("gradcam_overlay_class_0.png")
+    # real CAM-derived coords: in-range, and NOT the reference's constant
+    coords0 = body["classificationData"][0]["roiCoords"]
+    for k in ("top", "left", "width", "height"):
+        assert 0.0 <= coords0[k] <= 1.0
+    # reference_parity flag restores the reference's hardcoded rectangle
+    status, ref_body = _get(base + "/roi?pipeline=basic&reference_parity=1")
+    assert ref_body["classificationData"][0]["roiCoords"] == {
+        "top": 0.20, "left": 0.30, "width": 0.20, "height": 0.175}
     # overlays actually exist on disk
     import os
     expl = srv.app.ws.folder("explainability")
     for c in (0, 1):
         assert os.path.exists(os.path.join(expl, f"gradcam_overlay_class_{c}.png"))
+    # and the CAM coords vary with the input image (upload a different
+    # mammogram — this clears artifact folders like the reference — then
+    # coords must change)
+    _post_multipart(base + "/upload-single",
+                    {"body_part1": "L", "modality1": "MG"},
+                    {"image1": ("case_roi2.png", _mammo_png(seed=7))})
+    status, body2 = _get(base + "/roi?pipeline=basic")
+    assert (body2["classificationData"][0]["roiCoords"] != coords0
+            or body2["classificationData"][1]["roiCoords"]
+            != body["classificationData"][1]["roiCoords"])
 
     # 7. advanced pipeline also runs
     status, body = _get(base + "/classify?pipeline=advanced")
@@ -147,7 +166,7 @@ def test_full_single_image_flow(server):
 
 
 def test_bulk_flow(server):
-    base, _ = server
+    base, srv = server
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as zf:
         zf.writestr("imgs/bulk1.png", _mammo_png(seed=1))
@@ -167,6 +186,14 @@ def test_bulk_flow(server):
     assert status == 302 and headers.get("Location") == "/diagnosis"
     status, body = _get(base + "/diagnosis")
     assert body["cases"][0]["image_name"] == "bulk1.png"
+
+    # path-traversal attempts must be rejected, not resolved
+    outside = os.path.join(srv.app.ws.root, "secret.png")
+    with open(outside, "wb") as f:
+        f.write(_mammo_png(seed=9))
+    for evil in ("../secret.png", outside, "a/../../secret.png"):
+        out = srv.app.upload_bulk_image(evil)
+        assert out.get("error") == "invalid image name", evil
 
 
 def test_error_paths(server):
