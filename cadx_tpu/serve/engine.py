@@ -59,14 +59,35 @@ class InferenceEngine:
     def __init__(self, config: EngineConfig | None = None, seed: int = 0,
                  basic_npz: str | None = None,
                  advanced_summary_json: str | None = None,
-                 advanced_pth: str | None = None):
+                 advanced_pth: str | None = None,
+                 encoder_pth: str | None = None,
+                 gradcam_pth: str | None = None):
         """Weights resolution mirrors the reference deployment: the basic
         pipeline loads a cnn_model npz (CNNM.py:658), the advanced one a
         training-summary JSON + torch .pth pair (app.py:571-575). Missing
-        artifacts fall back to random init (cold-start serving)."""
+        artifacts fall back to random init (cold-start serving).
+
+        encoder_pth: smp/torchvision resnet34 state dict for the feature
+        encoder (reproduces the deployed app's pretrained smp encoder,
+        app.py:78-94). gradcam_pth: torchvision resnet50 state dict — when
+        given, Grad-CAM overlays use the reference's exact semantics
+        (pretrained resnet50 layer4 over the display image, GRADCAM.py:16-53)
+        instead of the default explain-own-classifier redesign."""
         self.config = config or EngineConfig()
         k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
-        self.encoder_params = unet.init_resnet_encoder(k1)
+        if encoder_pth and os.path.exists(encoder_pth):
+            from cadx_tpu.models import resnet as _resnet
+
+            _, self.encoder_params = _resnet.encoder_params_from_state_dict(
+                encoder_pth)
+        else:
+            self.encoder_params = unet.init_resnet_encoder(k1)
+        self.gradcam_resnet = None
+        if gradcam_pth and os.path.exists(gradcam_pth):
+            from cadx_tpu.models import resnet as _resnet
+
+            self.gradcam_resnet = _resnet.encoder_params_from_state_dict(
+                gradcam_pth)
         if basic_npz and os.path.exists(basic_npz):
             cfg, params = _ckpt.load_npz(basic_npz)
             self.config = dataclasses.replace(self.config, basic_classifier=cfg)
@@ -258,7 +279,15 @@ class InferenceEngine:
     def write_gradcam_overlays(self, features: np.ndarray, display_img: np.ndarray,
                                save_folder: str, classes=(0, 1),
                                pipeline: str = "basic") -> dict:
-        """Per-class Grad-CAM overlays with the reference's filenames."""
+        """Per-class Grad-CAM overlays with the reference's filenames.
+
+        With an imported resnet50 (gradcam_pth), reproduces the
+        reference's exact CAM semantics over the display image; otherwise
+        explains the active classifier (redesign — PARITY.md)."""
+        if self.gradcam_resnet is not None:
+            cfg50, params50 = self.gradcam_resnet
+            return gradcam.generate_reference_gradcam_overlays(
+                params50, cfg50, display_img, classes, save_folder)
         if pipeline == "basic":
             feats = self.process_bottleneck_features(features)
             params, cfg = self.basic_params, self.config.basic_classifier

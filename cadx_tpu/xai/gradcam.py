@@ -87,6 +87,87 @@ def gradcam_overlay(params, x: jax.Array, display_img_u8: jax.Array,
     return overlay_rgb, heatmap_u8
 
 
+# ---------------------------------------------------------------------------
+# Reference-semantics Grad-CAM: pretrained ResNet50 layer4 over the
+# display image (GRADCAM.py:16-53). The default serving CAM above explains
+# the framework's own classifier (a deliberate redesign — see PARITY.md);
+# this path reproduces the reference's heatmaps exactly when the user
+# supplies resnet50 weights.
+# ---------------------------------------------------------------------------
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def imagenet_input_from_gray(img_u8: jax.Array) -> jax.Array:
+    """GRADCAM.py:24-28 + :46-50: grayscale 0-255 -> 3-channel [0,1] stack
+    -> ImageNet-normalized (1, H, W, 3) tensor."""
+    img_f = img_u8.astype(jnp.float32) / 255.0
+    rgb = jnp.stack([img_f] * 3, axis=-1)
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return ((rgb - mean) / std)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("config", "class_idx"))
+def resnet_gradcam_map(params, x: jax.Array, class_idx: int, config) -> jax.Array:
+    """Normalized [0,1] CAM over layer4 activations for one normalized
+    input (1, H, W, 3) — pytorch-grad-cam's GradCAM on layer4[-1]:
+    weights = GAP(d logit_class / d layer4), cam = relu(sum_k w_k A_k),
+    min-max scaled at feature resolution (scale_cam_image)."""
+    from cadx_tpu.models import resnet
+
+    acts = resnet.layer4_features(params, x, config)
+    _, vjp_fn = jax.vjp(lambda f: resnet.head_logits(params, f, config), acts)
+    seed = jnp.zeros((1, config.num_classes)).at[0, class_idx].set(1.0)
+    (grads,) = vjp_fn(seed)
+    weights = grads.mean(axis=(1, 2), keepdims=True)
+    cam = jax.nn.relu((weights * acts).sum(axis=-1))[0]
+    lo, hi = cam.min(), cam.max()
+    return (cam - lo) / (hi - lo + 1e-7)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "class_idx", "out_hw"))
+def resnet_gradcam_overlay(params, img_u8: jax.Array, class_idx: int,
+                           config, out_hw: tuple[int, int]):
+    """Fused preprocess -> CAM -> upsample -> show_cam_on_image blend.
+    Returns (overlay_u8 RGB, heatmap_u8 grayscale), the reference's
+    (show_cam_on_image output, grayscale_cam*255) pair (GRADCAM.py:63-70)."""
+    x = imagenet_input_from_gray(img_u8)
+    cam = resnet_gradcam_map(params, x, class_idx, config)
+    cam_big = jnp.clip(resize_linear(cam, out_hw), 0.0, 1.0)
+    heatmap_u8 = (cam_big * 255).astype(jnp.uint8)
+    jet_rgb = apply_jet(heatmap_u8).astype(jnp.float32)[..., ::-1] / 255.0
+    img_f = jnp.stack([img_u8.astype(jnp.float32) / 255.0] * 3, axis=-1)
+    cam_img = jet_rgb + img_f
+    cam_img = cam_img / jnp.maximum(cam_img.max(), 1e-7)
+    return (cam_img * 255).astype(jnp.uint8), heatmap_u8
+
+
+def generate_reference_gradcam_overlays(params, config, display_img,
+                                        classes_to_test=(0, 1),
+                                        save_folder: str = "explainability") -> dict:
+    """GRADCAM.py:31-81 with reference filenames, driven by an imported
+    resnet50 (models.resnet.params_from_state_dict)."""
+    import cv2
+
+    os.makedirs(save_folder, exist_ok=True)
+    img = np.asarray(display_img)
+    if img.dtype != np.uint8:
+        img = np.clip(img, 0, 255).astype(np.uint8)
+    overlays = {}
+    for class_idx in classes_to_test:
+        ov_rgb, hm = resnet_gradcam_overlay(
+            jax.tree_util.tree_map(jnp.asarray, params), jnp.asarray(img),
+            int(class_idx), config, img.shape[:2])
+        ov_rgb, hm = np.asarray(ov_rgb), np.asarray(hm)
+        cv2.imwrite(os.path.join(save_folder, f"gradcam_overlay_class_{class_idx}.png"),
+                    cv2.cvtColor(ov_rgb, cv2.COLOR_RGB2BGR))
+        cv2.imwrite(os.path.join(save_folder, f"gradcam_heatmap_class_{class_idx}.png"), hm)
+        overlays[class_idx] = (ov_rgb, hm)
+    return overlays
+
+
 def generate_dual_class_gradcam_overlays(params, config: cnn.CNNConfig,
                                          features, display_img,
                                          classes_to_test=(0, 1),
