@@ -151,23 +151,57 @@ def classification(out: dict) -> str:
 
 
 def roi(out: dict) -> str:
+    """Interactive ROI viewer — parity with the reference's
+    RegionOfInterest.html:92-147 controls: class select (updates overlay
+    + predicted-probability readout from classificationData), separate
+    original/overlay transparency sliders, and a 1x-3x zoom slider."""
+    class0 = html.escape(out.get("class_0_image_path",
+                                 "explainability/gradcam_overlay_class_0.png"))
     body = f"""
-<h1>Region of interest</h1>
+<h1>Regions of Interest</h1>
 <div class="card">
- <p><label>Class
-  <select id="cls" onchange="document.getElementById('ov').src =
-    '/static/explainability/gradcam_overlay_class_' + this.value + '.png'">
-   <option value="0">Benign</option><option value="1">Malignant</option>
-  </select></label>
-  <label>Opacity <input id="op" type="range" min="0" max="100" value="50"
-   oninput="document.getElementById('ov').style.opacity = this.value/100"></label></p>
- <div class="overlaybox">
-  <img src="/static/images/{html.escape(out.get('image_filename', ''))}" width="512">
-  <img id="ov" class="overlay"
-   src="/static/explainability/gradcam_overlay_class_0.png" width="512">
+ <p>
+  <label>Select Class:
+   <select id="classSelect">
+    <option value="0">Benign</option><option value="1">Malignant</option>
+   </select></label>
+  <label>Predicted Probability: <span id="predictionProbability">0.00</span></label>
+ </p>
+ <p>
+  <label>Original Image Transparency:
+   <input id="originalOpacity" type="range" min="0" max="1" step="0.01" value="1"></label>
+  <label>Overlay Transparency:
+   <input id="overlayOpacity" type="range" min="0" max="1" step="0.01" value="0.5"></label>
+  <label>Zoom:
+   <input id="zoomControl" type="range" min="1" max="3" step="0.1" value="1"></label>
+ </p>
+ <div style="overflow:auto; max-height:640px">
+  <div class="overlaybox" id="zoomBox" style="transform-origin:top left">
+   <img id="imageDisplay"
+    src="/static/images/{html.escape(out.get('image_filename', ''))}" width="512">
+   <img id="ov" class="overlay" src="/static/{class0}" width="512">
+  </div>
  </div>
 </div>
-<script>var classificationData = {json.dumps(out.get('classificationData', []))};</script>"""
+<script>
+var classificationData = {json.dumps(out.get('classificationData', []))};
+var classSelect = document.getElementById("classSelect");
+var predictionProbability = document.getElementById("predictionProbability");
+function updateUIForClass(idx) {{
+  var data = classificationData[idx];
+  if (!data) return;
+  document.getElementById("ov").src = "/static/" + data.overlay_path;
+  predictionProbability.textContent = Number(data.confidence).toFixed(2) + "%";
+}}
+classSelect.addEventListener("change", function() {{ updateUIForClass(+this.value); }});
+document.getElementById("originalOpacity").addEventListener("input", function() {{
+  document.getElementById("imageDisplay").style.opacity = this.value; }});
+document.getElementById("overlayOpacity").addEventListener("input", function() {{
+  document.getElementById("ov").style.opacity = this.value; }});
+document.getElementById("zoomControl").addEventListener("input", function() {{
+  document.getElementById("zoomBox").style.transform = "scale(" + this.value + ")"; }});
+updateUIForClass(0);
+</script>"""
     return page("ROI", body)
 
 

@@ -226,13 +226,24 @@ def test_html_rendering_and_static(server):
                          ("/diagnosis", "Diagnosis cases"),
                          ("/view_segmentation", "Segmentation masks"),
                          ("/classify", "Classification"),
-                         ("/roi", "Region of interest"),
+                         ("/roi", "Regions of Interest"),
                          ("/bulk-select-parameters", "Bulk images"),
                          ("/sample", "Sample")]:
         status, html_body, ctype = get_html(path)
         assert status == 200 and "text/html" in ctype, path
         assert marker in html_body, path
         assert "<html>" in html_body
+
+    # the ROI viewer carries the reference's interactive controls
+    # (RegionOfInterest.html:92-147): class select + probability readout,
+    # separate original/overlay transparency sliders, zoom, and per-class
+    # overlay paths wired through classificationData
+    status, roi_html, _ = get_html("/roi")
+    for control in ("classSelect", "predictionProbability",
+                    "originalOpacity", "overlayOpacity", "zoomControl",
+                    "updateUIForClass", "classificationData"):
+        assert control in roi_html, control
+    assert "gradcam_overlay_class_0.png" in roi_html
 
     # JSON is still the default without the Accept header
     status, body = _get(base + "/diagnosis")
