@@ -4,9 +4,18 @@ Measures end-to-end images/sec/chip at 256x256 on the real TPU (the
 BASELINE.json metric; reference publishes no throughput, so vs_baseline
 is against the 1000 img/s/chip target). Prints ONE JSON line.
 
-Timing methodology: inputs pre-placed on device; every iteration fetches
-a scalar checksum to the host, forcing full execution (plain
-block_until_ready under-reports on the tunneled runtime).
+Timing methodology (variance-aware since round 2): the tunneled runtime
+shows rare 30-60ms dispatch stalls that polluted single-run averages
+(round-1 driver captured 1253 img/s vs 1600 steady-state). The
+throughput measurement therefore runs R independent passes of N
+enqueued iterations each and reports the MEDIAN pass (spread included
+in the JSON); each pass fetches one scalar checksum at the end, forcing
+full execution (plain block_until_ready under-reports on this runtime).
+
+Utilization: the JSON also carries est_mfu / est_membw_util — analytic
+FLOP and HBM-byte counts for the pipeline's dominant ops divided by the
+measured time against v5e peak (197 TFLOP/s bf16 / 394 GB/s HBM BW;
+f32 MXU peak ~49 TFLOP/s) — so perf work has a ceiling to aim at.
 """
 
 import json
@@ -38,6 +47,51 @@ def synthetic_mammograms(batch: int, hw: int, seed: int = 0) -> np.ndarray:
     return out
 
 
+def _estimate_flops_bytes(batch: int, hw: int, config) -> tuple[float, float]:
+    """Analytic per-batch FLOPs and HBM bytes for the dominant stages.
+
+    Counted: encoder conv1 (7x7/2, 1->64ch), classifier convs + dense,
+    Grad-CAM vjp (~2x classifier conv cost), and one HBM round-trip for
+    each major (B,H,W)-sized plane the XLA program cannot keep fused
+    (cleaner relaxation state, display image, overlays). Deliberately a
+    LOWER bound on work / traffic — utilization numbers are ceilings.
+    """
+    b = batch
+    h = w = hw
+    # encoder conv1: out (h/2, w/2, 64), kernel 7x7x1
+    conv1_flops = b * (h // 2) * (w // 2) * 64 * 7 * 7 * 2
+    # classifier convs at feature_hw
+    fh, fw = config.feature_hw
+    cin = config.classifier.input_shape[-1]
+    conv_flops = 0
+    hh, ww = fh, fw
+    for (f, k) in config.classifier.conv_layers:
+        conv_flops += b * hh * ww * f * cin * k * k * 2
+        cin = f
+        hh, ww = hh // 2, ww // 2
+    dense_in = hh * ww * cin
+    dense_flops = 0
+    for u in config.classifier.hidden_units:
+        dense_flops += b * dense_in * u * 2
+        dense_in = u
+    dense_flops += b * dense_in * config.classifier.num_classes * 2
+    # grad-cam vjp ~= forward conv cost again, per explained class
+    xai_flops = 2 * conv_flops * len(config.classes_to_explain)
+    flops = conv1_flops + conv_flops + dense_flops + xai_flops
+
+    plane = b * h * w * 4  # one f32 full-image plane
+    # cleaner loop state (labels+dist+scans ~6 planes traffic per sweep,
+    # ~5 sweeps for CCL/flood/watershed combined stages), display image,
+    # features, overlays (2 classes RGB u8) + heatmaps
+    bytes_ = (
+        6 * 5 * plane                 # iterative relaxation traffic
+        + 2 * plane                   # clean display in/out
+        + b * (h // 2) * (w // 2) * 64 * 4  # encoder features
+        + len(config.classes_to_explain) * b * h * w * (3 + 1)  # u8 outputs
+    )
+    return float(flops), float(bytes_)
+
+
 def main():
     from cadx_tpu.models import cnn
     from cadx_tpu.pipeline import fused
@@ -62,19 +116,21 @@ def main():
     # compile + warmup
     float(fused.run_pipeline_checksum(params, x, config))
 
-    # Throughput: enqueue all iterations async (device executes them
-    # back-to-back), sync once at the end. Per-iteration host syncs would
-    # add the tunnel's ~25ms dispatch round-trip to every batch.
-    iters = 20
-    t0 = time.perf_counter()
-    outs = [fused.run_pipeline_checksum(params, x, config) for _ in range(iters)]
-    # ONE device->host fetch: the in-order execution queue guarantees all
-    # prior iterations completed before the last result exists (a fetch
-    # per iteration would add ~30ms of tunnel round-trip to every batch)
-    total = float(jnp.stack(outs).sum())
-    assert np.isfinite(total)
-    elapsed = time.perf_counter() - t0
-    per_batch = elapsed / iters
+    # Throughput: R independent passes; each enqueues `iters` iterations
+    # async (device executes back-to-back) and syncs ONCE at the end —
+    # per-iteration host syncs would add the tunnel's ~25ms round-trip
+    # to every batch. Median pass defends against rare dispatch stalls.
+    iters, passes = 10, 5
+    pass_ms = []
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        outs = [fused.run_pipeline_checksum(params, x, config) for _ in range(iters)]
+        total = float(jnp.stack(outs).sum())
+        assert np.isfinite(total)
+        pass_ms.append((time.perf_counter() - t0) / iters * 1000)
+    pass_ms.sort()
+    per_batch_ms = pass_ms[len(pass_ms) // 2]
+    imgs_per_sec = batch / (per_batch_ms / 1000)
 
     # p50 single-batch latency (incl. one host round-trip)
     lat = []
@@ -83,7 +139,6 @@ def main():
         float(fused.run_pipeline_checksum(params, x, config))
         lat.append(time.perf_counter() - t1)
     p50 = float(np.median(lat))
-    imgs_per_sec = batch / per_batch
 
     # p50 single-IMAGE serving latency
     x1 = jax.device_put(jnp.asarray(host_batch[:1]))
@@ -94,6 +149,14 @@ def main():
         float(fused.run_pipeline_checksum(params, x1, config))
         lat1.append(time.perf_counter() - t1)
     p50_single = float(np.median(lat1))
+
+    flops, bytes_ = _estimate_flops_bytes(batch, hw, config)
+    secs = per_batch_ms / 1000
+    # v5e: ~197 TFLOP/s bf16; classifier matmuls run HIGHEST precision
+    # (f32 accumulate) => ~49 TFLOP/s effective MXU peak; HBM ~394 GB/s
+    est_mfu = (flops / secs) / 49e12
+    est_membw = (bytes_ / secs) / 394e9
+
     target = 1000.0
     print(json.dumps({
         "metric": "images/sec/chip end-to-end (preproc+seg+classify+Grad-CAM) at 256x256",
@@ -103,6 +166,11 @@ def main():
         "p50_latency_ms_batch128": round(p50 * 1000, 2),
         "p50_latency_ms_single_image": round(p50_single * 1000, 2),
         "batch": batch,
+        "pass_ms_min": round(pass_ms[0], 2),
+        "pass_ms_median": round(per_batch_ms, 2),
+        "pass_ms_max": round(pass_ms[-1], 2),
+        "est_mfu": round(est_mfu, 4),
+        "est_membw_util": round(est_membw, 4),
     }))
 
 

@@ -1,10 +1,15 @@
 """Pallas TPU kernel: geodesic marker watershed, VMEM-resident.
 
-Same Bellman-Ford relaxation as ops.watershed.marker_watershed, but the
-labels/distance planes and the four loop-invariant edge-cost planes stay
-in VMEM for the whole loop instead of round-tripping HBM every
-iteration. Exits when labels have been stable for `stable_iters`
-consecutive sweeps (distances keep refining after assignment converges).
+Same min-plus line-scan relaxation as ops.watershed.marker_watershed
+(see that module's docstring for the algorithm and the exact-fixpoint
+exit), but the distance/label planes and the two prefix-sum cost planes
+stay in VMEM for the whole loop instead of round-tripping HBM every
+sweep. Every float op (shift-doubling cummin/cumsum, strict-< takes)
+matches the XLA path's association order, so results are bit-identical.
+
+VMEM budget at 512x512: img, d, l, srow, scol + scan temporaries
+(~4 planes) ~= 9 f32/i32 planes ~= 9.4 MB — inside the 14 MB gate used
+by ops.components._use_pallas.
 """
 
 from __future__ import annotations
@@ -24,6 +29,8 @@ _SHIFTS = ((1, 0), (-1, 0), (0, 1), (0, -1))
 
 
 def _shift(x, dy: int, dx: int, fill):
+    """pltpu.roll-based shift matching ops.watershed._shift semantics.
+    pltpu.roll needs non-negative shifts: n - k rolls backwards."""
     h, w = x.shape
     out = x
     if dy:
@@ -39,36 +46,84 @@ def _shift(x, dy: int, dx: int, fill):
     return out
 
 
+def _doubling_steps(n: int):
+    steps, k = [], 1
+    while k < n:
+        steps.append(k)
+        k *= 2
+    return tuple(steps)
+
+
+def _scan_min_carry(w, l, axis: int, reverse: bool):
+    n = w.shape[axis]
+    sgn = 1 if not reverse else -1
+    for k in _doubling_steps(n):
+        dy, dx = (sgn * k, 0) if axis == 0 else (0, sgn * k)
+        w_sh = _shift(w, dy, dx, _BIG)
+        l_sh = _shift(l, dy, dx, 0)
+        take = w_sh < w
+        w = jnp.where(take, w_sh, w)
+        l = jnp.where(take, l_sh, l)
+    return w, l
+
+
+def _doubling_cumsum(x, axis: int):
+    for k in _doubling_steps(x.shape[axis]):
+        dy, dx = (k, 0) if axis == 0 else (0, k)
+        x = x + _shift(x, dy, dx, 0.0)
+    return x
+
+
+def _axis_costs(img):
+    eps = np.float32(1e-3)
+    crow = jnp.abs(img - _shift(img, 0, 1, 0.0)) + eps
+    col_idx = lax.broadcasted_iota(jnp.int32, img.shape, 1)
+    crow = jnp.where(col_idx == 0, 0.0, crow)
+    ccol = jnp.abs(img - _shift(img, 1, 0, 0.0)) + eps
+    row_idx = lax.broadcasted_iota(jnp.int32, img.shape, 0)
+    ccol = jnp.where(row_idx == 0, 0.0, ccol)
+    return _doubling_cumsum(crow, axis=1), _doubling_cumsum(ccol, axis=0)
+
+
+def _sweep(d, l, srow, scol):
+    w, lw = _scan_min_carry(d - srow, l, axis=1, reverse=False)
+    cand = w + srow
+    take = cand < d
+    d, l = jnp.where(take, cand, d), jnp.where(take, lw, l)
+    w, lw = _scan_min_carry(d + srow, l, axis=1, reverse=True)
+    cand = w - srow
+    take = cand < d
+    d, l = jnp.where(take, cand, d), jnp.where(take, lw, l)
+    w, lw = _scan_min_carry(d - scol, l, axis=0, reverse=False)
+    cand = w + scol
+    take = cand < d
+    d, l = jnp.where(take, cand, d), jnp.where(take, lw, l)
+    w, lw = _scan_min_carry(d + scol, l, axis=0, reverse=True)
+    cand = w - scol
+    take = cand < d
+    d, l = jnp.where(take, cand, d), jnp.where(take, lw, l)
+    return d, l
+
+
 def _watershed_kernel(img_ref, markers_ref, labels_ref, boundary_ref, *,
-                      max_iters: int, stable_iters: int):
+                      max_iters: int):
     img = img_ref[0].astype(jnp.float32)
     labels0 = markers_ref[0]
     dist0 = jnp.where(labels0 > 0, 0.0, _BIG)
+    srow, scol = _axis_costs(img)
 
     def body(state):
-        labels, dist, stable, it = state
-        best_d, best_l = dist, labels
-        for dy, dx in _SHIFTS:
-            # recompute the edge cost per direction instead of holding 4
-            # persistent cost planes — keeps 512x512 inside the 16MB VMEM
-            # budget (extra shifts are cheap VPU work)
-            cost = jnp.abs(img - _shift(img, dy, dx, 0.0)) + 1e-3
-            nd = _shift(dist, dy, dx, _BIG)
-            nl = _shift(labels, dy, dx, 0)
-            cand = nd + cost
-            take = (cand < best_d) & (nl > 0)
-            best_d = jnp.where(take, cand, best_d)
-            best_l = jnp.where(take, nl, best_l)
-        changed = jnp.any(best_l != labels)
-        stable = jnp.where(changed, 0, stable + 1)
-        return best_l, best_d, stable, it + 1
+        labels, dist, _, it = state
+        new_d, new_l = _sweep(dist, labels, srow, scol)
+        changed = jnp.any(new_d != dist)
+        return new_l, new_d, changed, it + 1
 
     def cond(state):
-        _, _, stable, it = state
-        return (stable < stable_iters) & (it < max_iters)
+        _, _, changed, it = state
+        return changed & (it < max_iters)
 
     labels, dist, _, _ = lax.while_loop(
-        cond, body, (labels0, dist0, jnp.int32(0), jnp.int32(0))
+        cond, body, (labels0, dist0, jnp.bool_(True), jnp.int32(0))
     )
 
     boundary = jnp.zeros(labels.shape, jnp.int32)
@@ -79,16 +134,15 @@ def _watershed_kernel(img_ref, markers_ref, labels_ref, boundary_ref, *,
     boundary_ref[0] = boundary
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "stable_iters", "interpret"))
+@functools.partial(jax.jit, static_argnames=("max_iters", "interpret"))
 def marker_watershed_pallas(images: jax.Array, markers: jax.Array,
-                            max_iters: int = 1024, stable_iters: int = 8,
+                            max_iters: int = 256,
                             interpret: bool = False):
     """Batched watershed: (B,H,W) image + int markers -> (labels, boundary)."""
     b, h, w = images.shape
     spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     labels, boundary = pl.pallas_call(
-        functools.partial(_watershed_kernel, max_iters=max_iters,
-                          stable_iters=stable_iters),
+        functools.partial(_watershed_kernel, max_iters=max_iters),
         out_shape=(jax.ShapeDtypeStruct((b, h, w), jnp.int32),
                    jax.ShapeDtypeStruct((b, h, w), jnp.int32)),
         grid=(b,),

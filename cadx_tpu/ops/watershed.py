@@ -5,21 +5,26 @@ customImageCleaner.py:144) is a priority-queue flooding algorithm —
 unjittable as-is. The TPU-native equivalent: each marker floods outward
 along minimum-geodesic-cost paths where the edge cost is the intensity
 difference (the same quantity that stalls OpenCV's flooding at ridges).
-Bellman-Ford-style relaxation over the 4-neighborhood runs as pure
-elementwise VPU work inside a lax.while_loop.
 
-Performance notes: neighbor access is pad+slice (no roll/scatter), the
-per-direction edge costs are hoisted out of the loop, and the loop exits
-once labels have been stable for `stable_iters` consecutive iterations.
-That exit is a heuristic: a distance improvement can in principle travel
-silently through already-claimed territory for more than `stable_iters`
-sweeps before flipping a ridge pixel, so very long low-cost corridors may
-freeze a boundary early (raise `stable_iters`, or set it to max_iters for
-the fully-converged geodesic assignment). The default of 8 keeps the
-cleaner's IoU-tested contract while bounding the fixpoint cost.
+Algorithm: min-plus LINE-SCAN relaxation (Gauss-Seidel over the four
+scan directions). Along a row, the best cost reaching pixel i from any
+pixel j<=i on that row is min_j (d[j] + s[i] - s[j]) where s is the
+prefix sum of inter-pixel edge costs — i.e. a running min of (d - s)
+plus s, computed with a log2(n)-step shift-doubling cummin that carries
+the argmin's label. One sweep = LR, RL, TB, BT scans, each seeing the
+previous scan's updates, so an improvement crosses the whole image in
+ONE sweep instead of one pixel per iteration (Jacobi). The loop exits
+when a full sweep changes nothing — an EXACT Bellman-Ford fixpoint, so
+no label can flip later (the round-1 `stable_iters` label-stability
+heuristic could freeze a boundary early on long low-cost corridors;
+this replaces it). Convergence takes O(direction changes of optimal
+paths) sweeps — 3-6 for real mammograms.
 
 The contract is tolerance-tested (mask IoU vs cv2.watershed) rather than
 bitwise: ridge ties may resolve differently, but basin assignments agree.
+The Pallas kernel (kernels/watershed_kernel.py) implements the identical
+scan arithmetic VMEM-resident and is dispatched for large TPU images;
+results are bit-identical between the two paths.
 """
 
 from __future__ import annotations
@@ -33,7 +38,7 @@ import numpy as np
 
 _BIG = np.float32(1e30)
 
-# (dy, dx) 4-neighborhood
+# (dy, dx) 4-neighborhood (boundary extraction)
 _SHIFTS = ((1, 0), (-1, 0), (0, 1), (0, -1))
 
 
@@ -45,13 +50,88 @@ def _shift(x: jax.Array, dy: int, dx: int, fill) -> jax.Array:
     return xp[max(-dy, 0) : max(-dy, 0) + h, max(-dx, 0) : max(-dx, 0) + w]
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "stable_iters"))
+def _doubling_steps(n: int):
+    """Shift offsets 1, 2, 4, ... covering a window of >= n."""
+    steps, k = [], 1
+    while k < n:
+        steps.append(k)
+        k *= 2
+    return tuple(steps)
+
+
+def _scan_min_carry(w: jax.Array, l: jax.Array, axis: int, reverse: bool):
+    """Running min of w along `axis` (prefix if not reverse, suffix if
+    reverse), carrying the label of the argmin. Strict < keeps the
+    nearest minimiser on ties. Shift-doubling: log2(n) steps."""
+    n = w.shape[axis]
+    sgn = 1 if not reverse else -1
+    for k in _doubling_steps(n):
+        dy, dx = (sgn * k, 0) if axis == 0 else (0, sgn * k)
+        w_sh = _shift(w, dy, dx, _BIG)
+        l_sh = _shift(l, dy, dx, 0)
+        take = w_sh < w
+        w = jnp.where(take, w_sh, w)
+        l = jnp.where(take, l_sh, l)
+    return w, l
+
+
+def _doubling_cumsum(x: jax.Array, axis: int) -> jax.Array:
+    """Inclusive prefix sum via shift-doubling adds — the exact same
+    float association order as the Pallas kernel, so both watershed
+    paths produce bit-identical prefix sums."""
+    for k in _doubling_steps(x.shape[axis]):
+        dy, dx = (k, 0) if axis == 0 else (0, k)
+        x = x + _shift(x, dy, dx, 0.0)
+    return x
+
+
+def _axis_costs(img: jax.Array):
+    """Loop-invariant inter-pixel costs and their prefix sums.
+
+    crow[i, j] = cost of stepping between (i, j-1) and (i, j); the first
+    column is 0 so srow = cumsum(crow) satisfies
+    srow[i, j] - srow[i, k] = path cost k -> j along row i.
+    """
+    eps = np.float32(1e-3)
+    crow = jnp.abs(img - _shift(img, 0, 1, 0.0)) + eps
+    crow = crow.at[:, 0].set(0.0)
+    ccol = jnp.abs(img - _shift(img, 1, 0, 0.0)) + eps
+    ccol = ccol.at[0, :].set(0.0)
+    return _doubling_cumsum(crow, axis=1), _doubling_cumsum(ccol, axis=0)
+
+
+def _sweep(d, l, srow, scol):
+    """One Gauss-Seidel sweep: LR, RL, TB, BT line relaxations."""
+    # left-to-right: d'[i] = min(d[i], min_{j<i}(d[j] - s[j]) + s[i])
+    w, lw = _scan_min_carry(d - srow, l, axis=1, reverse=False)
+    cand = w + srow
+    take = cand < d
+    d, l = jnp.where(take, cand, d), jnp.where(take, lw, l)
+    # right-to-left: d'[i] = min(d[i], min_{j>i}(d[j] + s[j]) - s[i])
+    w, lw = _scan_min_carry(d + srow, l, axis=1, reverse=True)
+    cand = w - srow
+    take = cand < d
+    d, l = jnp.where(take, cand, d), jnp.where(take, lw, l)
+    # top-to-bottom / bottom-to-top
+    w, lw = _scan_min_carry(d - scol, l, axis=0, reverse=False)
+    cand = w + scol
+    take = cand < d
+    d, l = jnp.where(take, cand, d), jnp.where(take, lw, l)
+    w, lw = _scan_min_carry(d + scol, l, axis=0, reverse=True)
+    cand = w - scol
+    take = cand < d
+    d, l = jnp.where(take, cand, d), jnp.where(take, lw, l)
+    return d, l
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
 def marker_watershed(image: jax.Array, markers: jax.Array,
-                     max_iters: int = 1024, stable_iters: int = 8):
+                     max_iters: int = 256):
     """Flood `markers` (>0 labels; 0 = unlabeled) over `image`.
 
     Returns (labels, boundary) where boundary marks pixels adjacent to a
-    different label (cv2.watershed's -1 ridge pixels).
+    different label (cv2.watershed's -1 ridge pixels). Runs scan sweeps
+    to the exact geodesic fixpoint (bounded by `max_iters` sweeps).
     """
     h, w = image.shape
     from cadx_tpu.ops.components import _use_pallas
@@ -60,38 +140,26 @@ def marker_watershed(image: jax.Array, markers: jax.Array,
         from cadx_tpu.kernels.watershed_kernel import marker_watershed_pallas
 
         labels, boundary = marker_watershed_pallas(
-            image[None], markers[None], max_iters, stable_iters)
+            image[None], markers[None], max_iters)
         return labels[0], boundary[0]
 
     img = image.astype(jnp.float32)
     labels0 = markers.astype(jnp.int32)
     dist0 = jnp.where(labels0 > 0, 0.0, _BIG)
-
-    # edge costs are loop-invariant: |img[p] - img[q]| per direction
-    costs = tuple(
-        jnp.abs(img - _shift(img, dy, dx, 0.0)) + 1e-3 for dy, dx in _SHIFTS
-    )
+    srow, scol = _axis_costs(img)
 
     def body(state):
-        labels, dist, stable, it = state
-        best_d, best_l = dist, labels
-        for (dy, dx), cost in zip(_SHIFTS, costs):
-            nd = _shift(dist, dy, dx, _BIG)
-            nl = _shift(labels, dy, dx, 0)
-            cand = nd + cost
-            take = (cand < best_d) & (nl > 0)
-            best_d = jnp.where(take, cand, best_d)
-            best_l = jnp.where(take, nl, best_l)
-        changed = jnp.any(best_l != labels)
-        stable = jnp.where(changed, 0, stable + 1)
-        return best_l, best_d, stable, it + 1
+        labels, dist, _, it = state
+        new_d, new_l = _sweep(dist, labels, srow, scol)
+        changed = jnp.any(new_d != dist)
+        return new_l, new_d, changed, it + 1
 
     def cond(state):
-        _, _, stable, it = state
-        return (stable < stable_iters) & (it < max_iters)
+        _, _, changed, it = state
+        return changed & (it < max_iters)
 
     labels, dist, _, _ = lax.while_loop(
-        cond, body, (labels0, dist0, jnp.int32(0), 0)
+        cond, body, (labels0, dist0, jnp.bool_(True), 0)
     )
 
     boundary = jnp.zeros(labels.shape, bool)
