@@ -1,0 +1,203 @@
+"""Pallas TPU kernel: largest-component selection (area mode) in VMEM.
+
+After CCL labeling, `ops.components.largest_component` needs the label
+with the most pixels (cv2's argmax over connectedComponentsWithStats
+areas, customImageCleaner.py:62-66). The XLA formulation (sort 65536
+int32 + run-length + argmax) costs ~7ms/batch at 256x256x128 — ~35% of
+the whole cleaning stage, and it runs three times per image. This
+kernel keeps the plane in VMEM and runs
+
+1. a full bitonic sort over the raster-flattened labels (the (H, W)
+   plane IS the linear order: i = r*W + c). Compare-exchange partners
+   i^j for the power-of-two stage distance j are reached with
+   pltpu.roll along lanes (j < W) or sublanes (j >= W); stage loops are
+   lax.fori_loop with dynamic shifts so the ~log^2(N) stages don't
+   accumulate Mosaic stack transients;
+2. run-length encoding in raster order (doubling reverse-cummin of
+   next-start positions), then argmax of run length with smallest-label
+   tie-break — bit-identical to ops.components._mode_label's
+   sort + jnp.argmax (first maximum in ascending label order);
+3. emits the final boolean mask (mask & (labels == best)) directly, so
+   the labels plane never round-trips HBM.
+
+Results are bit-identical to the XLA path (sorting is exact; tie-break
+matches).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SENTINEL = np.int32(2**30)
+
+
+def _row_iota(shape):
+    return lax.broadcasted_iota(jnp.int32, shape, 0)
+
+
+def _col_iota(shape):
+    return lax.broadcasted_iota(jnp.int32, shape, 1)
+
+
+def _partner(v, j, axis: int):
+    """Value at index (i XOR j) along `axis`, j a power-of-two < size
+    (static int or traced scalar — static keeps the roll a single
+    hardware rotate). i^j = i+j where bit j of i is 0, else i-j."""
+    n = v.shape[axis]
+    idx = lax.broadcasted_iota(jnp.int32, v.shape, axis)
+    bit = (idx & j) != 0
+    back = (n - j) if isinstance(j, int) else (jnp.int32(n) - j)
+    up = pltpu.roll(v, back, axis)               # brings index i+j
+    down = pltpu.roll(v, j, axis)                # brings index i-j
+    return jnp.where(bit, down, up)
+
+
+def _bitonic_sort_plane(v, static_unroll: bool = True):
+    """Ascending bitonic sort of the raster-flattened (H, W) int32 plane.
+
+    static_unroll=True emits every stage with a STATIC roll shift
+    (dynamic-shift lane rotations lower to multi-step shuffle networks on
+    Mosaic — measured at parity with XLA's HBM sort, i.e. ~4x slower
+    than static shifts); False wraps stages in fori_loops with dynamic
+    shifts (bounded Mosaic stack, used if unrolling ever blows it)."""
+    h, w = v.shape
+    n = h * w
+    levels = int(np.log2(n))  # h, w are powers of two (gated by caller)
+    r_iota = _row_iota(v.shape)
+    c_iota = _col_iota(v.shape)
+    log_w = int(np.log2(w))
+
+    for lk in range(1, levels + 1):  # k = 2**lk
+        k = 1 << lk
+        # ascending block mask: (i & k) == 0
+        if k < w:
+            asc = (c_iota & k) == 0
+        elif k < n:
+            asc = (r_iota & (k >> log_w)) == 0
+        else:
+            asc = jnp.ones(v.shape, bool)  # final full-length merge
+
+        def stage(v, j, axis):
+            vp = _partner(v, j, axis)
+            idx = c_iota if axis == 1 else r_iota
+            is_lower = (idx & j) == 0
+            keep_min = is_lower == asc
+            return jnp.where(keep_min, jnp.minimum(v, vp), jnp.maximum(v, vp))
+
+        n_row_stages = max(0, lk - log_w)     # j = k/2 ... w
+        first_lane_j = min(k // 2, w // 2)    # then j = ... 1
+        n_lane_stages = int(np.log2(first_lane_j)) + 1 if first_lane_j else 0
+
+        if static_unroll:
+            for t in range(n_row_stages):
+                v = stage(v, (k >> (t + 1)) >> log_w, 0)
+            for t in range(n_lane_stages):
+                v = stage(v, first_lane_j >> t, 1)
+            continue
+
+        def row_body(t, v):
+            j_row = (jnp.int32(k) >> (t + 1)) >> log_w  # (k/2 >> t) / w
+            return stage(v, j_row, 0)
+
+        if n_row_stages:
+            v = lax.fori_loop(0, n_row_stages, row_body, v)
+
+        def lane_body(t, v):
+            j_lane = jnp.int32(first_lane_j) >> t
+            return stage(v, j_lane, 1)
+
+        if n_lane_stages:
+            v = lax.fori_loop(0, n_lane_stages, lane_body, v)
+    return v
+
+
+def _raster_prev(s, fill):
+    """Previous element in raster order: (r, c-1), wrapping to
+    (r-1, W-1); index 0 gets `fill`."""
+    h, w = s.shape
+    p1 = pltpu.roll(s, 1, 1)            # (r, c-1); c=0 gets (r, W-1)
+    p2 = pltpu.roll(p1, 1, 0)           # (r-1, W-1) at c=0
+    c = _col_iota(s.shape)
+    r = _row_iota(s.shape)
+    prev = jnp.where(c == 0, p2, p1)
+    return jnp.where((r == 0) & (c == 0), fill, prev)
+
+
+def _raster_shift_ahead(x, d: int, fill):
+    """x at raster index i+d (static power-of-two d), fill past the end."""
+    h, w = x.shape
+    c = _col_iota(x.shape)
+    r = _row_iota(x.shape)
+    if d >= w:
+        m = d // w
+        y = pltpu.roll(x, h - m, 0)     # (r+m, c)
+        return jnp.where(r >= h - m, fill, y)
+    y = pltpu.roll(x, w - d, 1)         # (r, (c+d) % w)
+    z = pltpu.roll(y, h - 1, 0)         # (r+1, (c+d) % w)
+    out = jnp.where(c < w - d, y, z)
+    past = (r == h - 1) & (c >= w - d)  # i+d beyond the last pixel
+    return jnp.where(past, fill, out)
+
+
+def _reverse_cummin_raster(x, fill):
+    """Suffix min in raster order via shift-doubling (static shifts)."""
+    h, w = x.shape
+    d = 1
+    while d < h * w:
+        x = jnp.minimum(x, _raster_shift_ahead(x, d, fill))
+        d *= 2
+    return x
+
+
+def _mode_mask_kernel(labels_ref, mask_ref, out_ref):
+    labels = labels_ref[0]
+    mask = mask_ref[0] != 0
+    h, w = labels.shape
+    n = h * w
+
+    s = _bitonic_sort_plane(jnp.where(mask, labels, _SENTINEL))
+
+    # run-length in raster order (mirrors ops.components._mode_label)
+    r = _row_iota(s.shape)
+    c = _col_iota(s.shape)
+    idx = r * w + c
+    start = s != _raster_prev(s, jnp.int32(-1))   # -1 < any label: idx 0 starts
+    start_pos = jnp.where(start, idx, jnp.int32(n))
+    nxt = _reverse_cummin_raster(start_pos, jnp.int32(n))  # first start >= i
+    nxt_after = _raster_shift_ahead(nxt, 1, jnp.int32(n))  # first start > i
+    runlen = jnp.where(start & (s < _SENTINEL), nxt_after - idx, jnp.int32(-1))
+
+    # argmax run length; ties -> smallest label (first max in sorted order)
+    rmax = jnp.max(runlen)
+    best = jnp.min(jnp.where((runlen == rmax) & (runlen > 0), s, _SENTINEL))
+
+    out_ref[0] = (mask & (labels == best)).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def largest_component_mask_pallas(labels: jax.Array, masks: jax.Array,
+                                  interpret: bool = False) -> jax.Array:
+    """Batched: (B,H,W) int32 CCL labels + bool masks -> bool mask of the
+    largest component per image. H, W must be powers of two (the caller's
+    _use_pallas gate only admits such sizes at TPU image scales)."""
+    b, h, w = labels.shape
+    if (h & (h - 1)) or (w & (w - 1)):
+        raise ValueError(f"mode kernel needs power-of-two dims, got {h}x{w}")
+    spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _mode_mask_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        grid=(b,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        interpret=interpret,
+    )(labels.astype(jnp.int32), masks.astype(jnp.int32))
+    return out == 1

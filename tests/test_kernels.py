@@ -51,6 +51,23 @@ def test_flood_kernel_matches_xla(masks):
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(ours))
 
 
+def test_mode_kernel_matches_xla(masks, rng):
+    """Bitonic-sort largest-component mask == XLA sort + _mode_label,
+    including area ties (smallest-label tie-break) and empty masks."""
+    from cadx_tpu.kernels.mode import largest_component_mask_pallas
+
+    extra = np.zeros((2, 128, 128), bool)
+    extra[0, 10:20, 10:20] = True     # 100 px
+    extra[0, 60:70, 60:70] = True     # 100 px tie
+    cases = [np.asarray(masks), extra]
+    for case in cases:
+        m = jnp.asarray(case)
+        labels = jax.vmap(lambda x: C._label_core(x, 8, 128))(m)
+        ref = jax.vmap(lambda l, mm: mm & (l == C._mode_label(l, mm)))(labels, m)
+        ours = largest_component_mask_pallas(labels, m, interpret=INTERPRET)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(ours))
+
+
 def test_watershed_kernel_matches_xla(rng):
     h = w = 128
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)

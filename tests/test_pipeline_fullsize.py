@@ -1,0 +1,111 @@
+"""Full-size pipeline regression tests (VERDICT r1 weak #3/#4).
+
+The 64x64 integration tests can't catch a VMEM-gate or dispatch
+regression at the sizes the Pallas kernels actually engage (256/512),
+nor bound the bulk-vs-single resize-order divergence the engine
+documents (serve/engine.py classify_batch docstring). These tests run
+the REAL 256x256 program on CPU (XLA paths — the kernels' parity with
+them is covered by test_kernels.py and TPU drives) and pin the
+dispatch-gate arithmetic for the TPU sizes.
+"""
+
+import os
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cadx_tpu.models import cnn
+from cadx_tpu.ops import components
+from cadx_tpu.pipeline import fused
+from cadx_tpu.serve.engine import EngineConfig, InferenceEngine
+
+
+def _mammo(hw, seed=0):
+    rng = np.random.default_rng(seed)
+    img = np.zeros((hw, hw), np.uint8)
+    breast = np.zeros((hw, hw), np.uint8)
+    cv2.ellipse(breast, (hw - 1, hw // 2), (hw // 2, hw // 2), 0, 90, 270, 255, -1)
+    tissue = (110 + rng.normal(0, 25, (hw, hw))).clip(40, 185).astype(np.uint8)
+    img[breast > 0] = tissue[breast > 0]
+    yy, xx = np.mgrid[0:hw, 0:hw]
+    wedge = ((hw - 1 - xx) + yy) < hw // 4
+    img[wedge] = np.maximum(img[wedge], 230)
+    return img
+
+
+def test_pipeline_full_size_256():
+    """The bench-sized program (256x256), small batch: shapes, dtypes,
+    finiteness, and a real (non-degenerate) cleaning result."""
+    config = fused.PipelineConfig(
+        image_hw=(256, 256),
+        feature_hw=(32, 32),
+        classifier=cnn.CNNConfig(
+            input_shape=(32, 32, 64), num_classes=2,
+            conv_layers=((128, 3), (64, 3)), hidden_units=(256, 128),
+            dropout_rate=0.3,
+        ),
+    )
+    params = fused.init_pipeline_params(jax.random.key(0), config)
+    batch = np.stack([_mammo(256, s) for s in range(2)])
+    out = fused.run_pipeline(params, jnp.asarray(batch), config)
+
+    assert out.probs.shape == (2, 2)
+    np.testing.assert_allclose(np.asarray(out.probs).sum(-1), 1.0, atol=1e-4)
+    assert out.clean_u8.shape == (2, 256, 256) and out.clean_u8.dtype == jnp.uint8
+    assert out.features.shape == (2, 32, 32, 64)
+    assert np.isfinite(np.asarray(out.features)).all()
+    assert out.overlays.shape == (2, 2, 256, 256, 3)
+    assert out.heatmaps.shape == (2, 2, 256, 256)
+    clean = np.asarray(out.clean_u8)
+    # cleaning kept breast tissue (nonzero) and suppressed the pectoral
+    # wedge corner (top-left in our synthetic geometry)
+    assert (clean > 0).mean() > 0.1
+    assert clean[:, :20, :20].mean() < clean[:, 100:150, 180:240].mean()
+
+
+def test_use_pallas_dispatch_at_real_sizes(monkeypatch):
+    """Pin the VMEM-gate arithmetic for the sizes that matter on TPU —
+    a budget regression here silently falls back to HBM paths."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("CADX_DISABLE_PALLAS", raising=False)
+    assert components._use_pallas(256, 256)
+    assert components._use_pallas(512, 512)          # 10 planes = 10.5MB
+    assert not components._use_pallas(64, 64)        # too small to tile
+    assert not components._use_pallas(1024, 1024)    # 40MB > VMEM budget
+    assert not components._use_pallas(512, 512, planes=30)
+    monkeypatch.setenv("CADX_DISABLE_PALLAS", "1")
+    assert not components._use_pallas(256, 256)      # escape hatch
+
+
+def test_bulk_vs_single_prediction_divergence_bounded():
+    """classify_batch resizes BEFORE cleaning while the single path
+    cleans at native resolution (engine.classify_batch docstring). Bound
+    the resulting prediction drift on the same image."""
+    eng = InferenceEngine(EngineConfig(
+        segment_hw=(64, 64),
+        feature_resize=(16, 16),
+        basic_classifier=cnn.CNNConfig(
+            input_shape=(16, 16, 64), num_classes=2,
+            conv_layers=((8, 3),), hidden_units=(32,), dropout_rate=0.0),
+        advanced_classifier=cnn.CNNConfig(
+            input_shape=(32, 32, 64), num_classes=2,
+            conv_layers=((8, 3),), hidden_units=(32,), dropout_rate=0.0),
+    ))
+    for seed, native in ((0, 96), (1, 128)):
+        img = _mammo(native, seed)
+        # single-image path: clean at native resolution, then segment
+        feats, _ = eng.process_single_image(img)
+        single = eng.classify(feats, "basic")
+        # bulk path (as the app feeds it): resize to segment_hw first,
+        # clean after — the opposite order
+        [bulk] = eng.classify_batch(np.stack([cv2.resize(img, (64, 64))]),
+                                    "basic")
+        p_single = np.asarray(single["prediction_probabilities"])
+        p_bulk = np.asarray(bulk["prediction_probabilities"])
+        drift = np.abs(p_single - p_bulk).max()
+        assert drift < 0.25, (seed, native, p_single, p_bulk)
+        assert single["predicted_class"] == bulk["predicted_class"], (
+            seed, native, p_single, p_bulk)
