@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from cadx_tpu.models import cnn, unet
 from cadx_tpu.ops.colormap import apply_jet
-from cadx_tpu.ops.resize import resize_linear
+from cadx_tpu.ops.resize import resize_linear, resize_linear_mxu
 from cadx_tpu.preprocess import cleaner
 
 
@@ -91,8 +91,18 @@ def _gradcam_tail(acts, vjp_fn, clean01, class_idx, config: PipelineConfig):
     hi = cam.max(axis=(1, 2), keepdims=True)
     cam = (cam - lo) / (hi - lo + 1e-7)
 
-    cam_big = jax.vmap(lambda c: resize_linear(c, config.image_hw))(cam)
+    # MXU matmul resize — jax.image.resize's gather form costs ~3ms/batch
+    # here; same sample points, tolerance-contracted path
+    cam_big = resize_linear_mxu(cam, config.image_hw)
     heat_u8 = (jnp.clip(cam_big, 0.0, 1.0) * 255).astype(jnp.uint8)
+
+    # Perf-gate note: kernels/overlay.py::jet_blend_pallas is a
+    # bit-identical VMEM alternative for this jet+blend, ~2x faster
+    # STANDALONE (8.4 -> ~4ms/class) but a net LOSS inside the fused
+    # program (1868 vs 1895 img/s): the pallas_call is a fusion barrier
+    # that forces heat/clean01/overlay through HBM, while XLA fuses the
+    # one-hot jet into the surrounding elementwise ops here. XLA path
+    # kept per the SURVEY gate policy.
     jet_rgb = (apply_jet(heat_u8).astype(jnp.float32) / 255.0)[..., ::-1]
     img_rgb = jnp.repeat(clean01[..., None], 3, axis=-1)
     over = jet_rgb + img_rgb
