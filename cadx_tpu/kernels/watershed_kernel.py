@@ -54,8 +54,8 @@ def _doubling_steps(n: int):
     return tuple(steps)
 
 
-def _scan_min_carry(w, l, axis: int, reverse: bool):
-    n = w.shape[axis]
+def _scan_min_carry(w, l, axis: int, reverse: bool, max_scan: int):
+    n = min(w.shape[axis], max_scan)
     sgn = 1 if not reverse else -1
     for k in _doubling_steps(n):
         dy, dx = (sgn * k, 0) if axis == 0 else (0, sgn * k)
@@ -85,20 +85,20 @@ def _axis_costs(img):
     return _doubling_cumsum(crow, axis=1), _doubling_cumsum(ccol, axis=0)
 
 
-def _sweep(d, l, srow, scol):
-    w, lw = _scan_min_carry(d - srow, l, axis=1, reverse=False)
+def _sweep(d, l, srow, scol, max_scan: int):
+    w, lw = _scan_min_carry(d - srow, l, 1, False, max_scan)
     cand = w + srow
     take = cand < d
     d, l = jnp.where(take, cand, d), jnp.where(take, lw, l)
-    w, lw = _scan_min_carry(d + srow, l, axis=1, reverse=True)
+    w, lw = _scan_min_carry(d + srow, l, 1, True, max_scan)
     cand = w - srow
     take = cand < d
     d, l = jnp.where(take, cand, d), jnp.where(take, lw, l)
-    w, lw = _scan_min_carry(d - scol, l, axis=0, reverse=False)
+    w, lw = _scan_min_carry(d - scol, l, 0, False, max_scan)
     cand = w + scol
     take = cand < d
     d, l = jnp.where(take, cand, d), jnp.where(take, lw, l)
-    w, lw = _scan_min_carry(d + scol, l, axis=0, reverse=True)
+    w, lw = _scan_min_carry(d + scol, l, 0, True, max_scan)
     cand = w - scol
     take = cand < d
     d, l = jnp.where(take, cand, d), jnp.where(take, lw, l)
@@ -106,7 +106,7 @@ def _sweep(d, l, srow, scol):
 
 
 def _watershed_kernel(img_ref, markers_ref, labels_ref, boundary_ref, *,
-                      max_iters: int):
+                      max_iters: int, max_scan: int):
     img = img_ref[0].astype(jnp.float32)
     labels0 = markers_ref[0]
     dist0 = jnp.where(labels0 > 0, 0.0, _BIG)
@@ -114,7 +114,7 @@ def _watershed_kernel(img_ref, markers_ref, labels_ref, boundary_ref, *,
 
     def body(state):
         labels, dist, _, it = state
-        new_d, new_l = _sweep(dist, labels, srow, scol)
+        new_d, new_l = _sweep(dist, labels, srow, scol, max_scan)
         changed = jnp.any(new_d != dist)
         return new_l, new_d, changed, it + 1
 
@@ -134,15 +134,16 @@ def _watershed_kernel(img_ref, markers_ref, labels_ref, boundary_ref, *,
     boundary_ref[0] = boundary
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "interpret"))
+@functools.partial(jax.jit, static_argnames=("max_iters", "max_scan", "interpret"))
 def marker_watershed_pallas(images: jax.Array, markers: jax.Array,
-                            max_iters: int = 256,
+                            max_iters: int = 256, max_scan: int = 256,
                             interpret: bool = False):
     """Batched watershed: (B,H,W) image + int markers -> (labels, boundary)."""
     b, h, w = images.shape
     spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     labels, boundary = pl.pallas_call(
-        functools.partial(_watershed_kernel, max_iters=max_iters),
+        functools.partial(_watershed_kernel, max_iters=max_iters,
+                          max_scan=max_scan),
         out_shape=(jax.ShapeDtypeStruct((b, h, w), jnp.int32),
                    jax.ShapeDtypeStruct((b, h, w), jnp.int32)),
         grid=(b,),

@@ -16,25 +16,57 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _axis_window_reduce(x: jax.Array, k: int, init, op, axis: int) -> jax.Array:
+    """Sliding min/max of centered odd window k along one axis in O(1)
+    taps per pixel (van Herk / Gil-Werman): block prefix+suffix scans of
+    length k, then out[i] = op(suffix[i-r], prefix[i+r]). Identical to a
+    k-tap reduce_window; ~k/3 times fewer ops for the cleaner's big
+    kernels (15/25-wide after iteration composition)."""
+    n = x.shape[axis]
+    r = k // 2
+    m = -(-(n + 2 * r) // k) * k                 # padded length, multiple of k
+    lo_pad = r
+    hi_pad = m - n - r
+    pad_cfg = [(0, 0)] * x.ndim
+    pad_cfg[axis] = (lo_pad, hi_pad)
+    xp = jnp.pad(x, pad_cfg, constant_values=init)
+    block_shape = list(xp.shape)
+    block_shape[axis : axis + 1] = [m // k, k]
+    xb = xp.reshape(block_shape)
+    ax = axis + 1
+    prefix = lax.associative_scan(op, xb, axis=ax)
+    suffix = lax.associative_scan(op, xb, axis=ax, reverse=True)
+    prefix = prefix.reshape(xp.shape)
+    suffix = suffix.reshape(xp.shape)
+    # out[i] (0-based in x) = op(suffix[i], prefix[i + 2r]) over padded coords
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(0, n)
+    s = suffix[tuple(idx)]
+    idx[axis] = slice(2 * r, 2 * r + n)
+    p = prefix[tuple(idx)]
+    return op(s, p)
+
+
 def _window_reduce(img: jax.Array, ksize: int, init, op) -> jax.Array:
-    # rectangular min/max filters are separable: k x 1 then 1 x k costs
-    # 2k taps instead of k^2
-    pad = ksize // 2
-    lo, hi = pad, ksize - 1 - pad  # cv2 anchors odd kernels at center
-    out = lax.reduce_window(
-        img, init, op, (ksize, 1), (1, 1), ((lo, hi), (0, 0))
-    )
-    return lax.reduce_window(
-        out, init, op, (1, ksize), (1, 1), ((0, 0), (lo, hi))
-    )
+    # rectangular min/max filters are separable; each axis in O(1)/px
+    if ksize == 1:
+        return img
+    out = _axis_window_reduce(img, ksize, init, op, 0)
+    return _axis_window_reduce(out, ksize, init, op, 1)
+
+
+def _effective_k(ksize: int, iterations: int) -> int:
+    # iterating a centered (2r+1) rect structuring element n times equals
+    # one pass with radius n*r (Minkowski composition of rectangles)
+    return (ksize - 1) * iterations + 1
 
 
 def erode(img: jax.Array, ksize: int = 3, iterations: int = 1) -> jax.Array:
-    """Min filter; border treated as +max (cv2 default)."""
+    """Min filter; border treated as +max (cv2 default). `iterations`
+    composes exactly into one wider pass."""
     dtype = img.dtype
     x = img.astype(jnp.float32)
-    for _ in range(iterations):
-        x = _window_reduce(x, ksize, jnp.inf, lax.min)
+    x = _window_reduce(x, _effective_k(ksize, iterations), jnp.inf, lax.min)
     return x.astype(dtype)
 
 
@@ -42,8 +74,7 @@ def dilate(img: jax.Array, ksize: int = 3, iterations: int = 1) -> jax.Array:
     """Max filter; border treated as -max (cv2 default)."""
     dtype = img.dtype
     x = img.astype(jnp.float32)
-    for _ in range(iterations):
-        x = _window_reduce(x, ksize, -jnp.inf, lax.max)
+    x = _window_reduce(x, _effective_k(ksize, iterations), -jnp.inf, lax.max)
     return x.astype(dtype)
 
 

@@ -149,7 +149,11 @@ def remove_pectoral(img: jax.Array, breast_mask: jax.Array,
     markers = jnp.where(pect_dilated == 0, 128, markers)
     markers = jnp.where(breast_mask == 0, 64, markers)
 
-    labels, boundary = marker_watershed(img_equ, markers)
+    # max_scan=32: the unlabeled band between the eroded/dilated markers
+    # is ~2*n_morph_op*kn wide, so capped scan windows converge in the
+    # same few sweeps at ~25% less roll work; the fixpoint (and thus the
+    # result) is exact regardless of the cap (ops/watershed.py)
+    labels, boundary = marker_watershed(img_equ, markers, max_scan=32)
 
     breast_only = jnp.where(boundary, 0, labels)
     breast_only_mask = jnp.where(breast_only == 128, jnp.uint8(255), jnp.uint8(0))

@@ -173,6 +173,11 @@ def test_watershed_serpentine_corridor_exact():
 
     labels, _ = watershed.marker_watershed(jnp.asarray(img), jnp.asarray(markers))
     labels = np.asarray(labels)
+    # capped scan windows (the cleaner uses max_scan=32) slow propagation
+    # per sweep but must NOT change the fixpoint
+    capped, _ = watershed.marker_watershed(jnp.asarray(img), jnp.asarray(markers),
+                                           max_scan=8)
+    np.testing.assert_array_equal(labels, np.asarray(capped))
     gold_l, _ = _dijkstra_watershed(img, markers)
     _, d_a = _dijkstra_watershed(img, np.where(markers == 1, markers, 0))
     _, d_b = _dijkstra_watershed(img, np.where(markers == 2, markers, 0))
