@@ -40,9 +40,13 @@ def _conv_leaky_kernel(x_ref, w_ref, b_ref, o_ref, *, k: int, alpha: float,
     for di in range(k):
         for dj in range(k):
             patch = x_ref[0, di : di + oh, dj : dj + ow, :]
+            # HIGHEST: the Mosaic MXU dot otherwise truncates f32 inputs
+            # to bf16 (compiled-on-chip parity vs lax.conv fails at ~6e-3;
+            # interpret mode never sees it)
             acc = acc + jnp.dot(
                 patch.reshape(oh * ow, c), w_ref[di, dj],
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
     z = acc.reshape(oh, ow, f) + b_ref[:]
     o_ref[0] = jnp.where(z > 0, z, alpha * z)
@@ -188,8 +192,10 @@ def _gradcam_tail_kernel(acts_ref, grads_ref, img_ref, lut_ref,
 
     R = interp_matrix(oh, h)                            # (oh, h)
     Ct = interp_matrix(ow, w)                           # (ow, w)
-    cam_up = jnp.dot(jnp.dot(R, cam, preferred_element_type=jnp.float32),
-                     Ct.T, preferred_element_type=jnp.float32)
+    cam_up = jnp.dot(jnp.dot(R, cam, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST),
+                     Ct.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     cam_up = jnp.clip(cam_up, 0.0, 1.0)
     heat_u8 = jnp.round(cam_up * 255.0)
     heat_ref[0] = heat_u8.astype(jnp.int32)
