@@ -1,11 +1,12 @@
 """Pallas TPU kernel: geodesic marker watershed, VMEM-resident.
 
-Same min-plus line-scan relaxation as ops.watershed.marker_watershed
-(see that module's docstring for the algorithm and the exact-fixpoint
-exit), but the distance/label planes and the two prefix-sum cost planes
-stay in VMEM for the whole loop instead of round-tripping HBM every
-sweep. Every float op (shift-doubling cummin/cumsum, strict-< takes)
-matches the XLA path's association order, so results are bit-identical.
+Same min-plus line-scan relaxation as ops.watershed.marker_watershed —
+literally the same code: the scan machinery lives once in
+ops/geodesic_scan.py, parameterized by the shift primitive (pltpu.roll
+here, pad+slice in the XLA path), so the two paths cannot drift and
+results are bit-identical. This kernel keeps the distance/label planes
+and the two prefix-sum cost planes in VMEM for the whole loop instead
+of round-tripping HBM every sweep.
 
 VMEM budget at 512x512: img, d, l, srow, scol + scan temporaries
 (~4 planes) ~= 9 f32/i32 planes ~= 9.4 MB — inside the 14 MB gate used
@@ -16,15 +17,15 @@ from __future__ import annotations
 
 import functools
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BIG = np.float32(1e30)
+from cadx_tpu.ops import geodesic_scan as G
+
+_BIG = G.BIG
 _SHIFTS = ((1, 0), (-1, 0), (0, 1), (0, -1))
 
 
@@ -46,75 +47,16 @@ def _shift(x, dy: int, dx: int, fill):
     return out
 
 
-def _doubling_steps(n: int):
-    steps, k = [], 1
-    while k < n:
-        steps.append(k)
-        k *= 2
-    return tuple(steps)
-
-
-def _scan_min_carry(w, l, axis: int, reverse: bool, max_scan: int):
-    n = min(w.shape[axis], max_scan)
-    sgn = 1 if not reverse else -1
-    for k in _doubling_steps(n):
-        dy, dx = (sgn * k, 0) if axis == 0 else (0, sgn * k)
-        w_sh = _shift(w, dy, dx, _BIG)
-        l_sh = _shift(l, dy, dx, 0)
-        take = w_sh < w
-        w = jnp.where(take, w_sh, w)
-        l = jnp.where(take, l_sh, l)
-    return w, l
-
-
-def _doubling_cumsum(x, axis: int):
-    for k in _doubling_steps(x.shape[axis]):
-        dy, dx = (k, 0) if axis == 0 else (0, k)
-        x = x + _shift(x, dy, dx, 0.0)
-    return x
-
-
-def _axis_costs(img):
-    eps = np.float32(1e-3)
-    crow = jnp.abs(img - _shift(img, 0, 1, 0.0)) + eps
-    col_idx = lax.broadcasted_iota(jnp.int32, img.shape, 1)
-    crow = jnp.where(col_idx == 0, 0.0, crow)
-    ccol = jnp.abs(img - _shift(img, 1, 0, 0.0)) + eps
-    row_idx = lax.broadcasted_iota(jnp.int32, img.shape, 0)
-    ccol = jnp.where(row_idx == 0, 0.0, ccol)
-    return _doubling_cumsum(crow, axis=1), _doubling_cumsum(ccol, axis=0)
-
-
-def _sweep(d, l, srow, scol, max_scan: int):
-    w, lw = _scan_min_carry(d - srow, l, 1, False, max_scan)
-    cand = w + srow
-    take = cand < d
-    d, l = jnp.where(take, cand, d), jnp.where(take, lw, l)
-    w, lw = _scan_min_carry(d + srow, l, 1, True, max_scan)
-    cand = w - srow
-    take = cand < d
-    d, l = jnp.where(take, cand, d), jnp.where(take, lw, l)
-    w, lw = _scan_min_carry(d - scol, l, 0, False, max_scan)
-    cand = w + scol
-    take = cand < d
-    d, l = jnp.where(take, cand, d), jnp.where(take, lw, l)
-    w, lw = _scan_min_carry(d + scol, l, 0, True, max_scan)
-    cand = w - scol
-    take = cand < d
-    d, l = jnp.where(take, cand, d), jnp.where(take, lw, l)
-    return d, l
-
-
 def _watershed_kernel(img_ref, markers_ref, labels_ref, boundary_ref, *,
                       max_iters: int, max_scan: int):
     img = img_ref[0].astype(jnp.float32)
     labels0 = markers_ref[0]
     dist0 = jnp.where(labels0 > 0, 0.0, _BIG)
-    srow, scol = _axis_costs(img)
+    srow, scol = G.axis_costs(_shift, img)
 
     def body(state):
         labels, dist, _, it = state
-        new_d, new_l = _sweep(dist, labels, srow, scol, max_scan)
+        new_d, new_l = G.sweep(_shift, dist, labels, srow, scol, max_scan)
         changed = jnp.any(new_d != dist)
         return new_l, new_d, changed, it + 1
 

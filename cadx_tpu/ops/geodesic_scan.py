@@ -1,0 +1,98 @@
+"""Shared min-plus line-scan machinery for the geodesic watershed.
+
+Both watershed paths — the XLA one (ops/watershed.py, pad+slice shifts)
+and the VMEM Pallas kernel (kernels/watershed_kernel.py, pltpu.roll
+shifts) — run the exact same relaxation; their bit-identical contract
+used to rest on two hand-synchronized copies of ~50 lines. This module
+is the single implementation, parameterized by the backend's
+`shift(x, dy, dx, fill)` primitive. Every float op (shift-doubling
+cummin/cumsum order, strict-< takes, the +1e-3 edge epsilon) lives here
+once, so the association order cannot drift between paths.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+BIG = np.float32(1e30)
+
+
+def doubling_steps(n: int):
+    """Shift offsets 1, 2, 4, ... covering a window of >= n."""
+    steps, k = [], 1
+    while k < n:
+        steps.append(k)
+        k *= 2
+    return tuple(steps)
+
+
+def scan_min_carry(shift, w, l, axis: int, reverse: bool, max_scan: int):
+    """Running min of w along `axis` (prefix if not reverse, suffix if
+    reverse) over a window of up to max_scan, carrying the label of the
+    argmin. Strict < keeps the nearest minimiser on ties. A capped
+    window (< axis length) only bounds how far an improvement travels
+    per sweep — the fixpoint is unchanged and still exact, and real
+    pectoral bands converge in the same few sweeps at ~25% fewer rolls."""
+    n = min(w.shape[axis], max_scan)
+    sgn = 1 if not reverse else -1
+    for k in doubling_steps(n):
+        dy, dx = (sgn * k, 0) if axis == 0 else (0, sgn * k)
+        w_sh = shift(w, dy, dx, BIG)
+        l_sh = shift(l, dy, dx, 0)
+        take = w_sh < w
+        w = jnp.where(take, w_sh, w)
+        l = jnp.where(take, l_sh, l)
+    return w, l
+
+
+def doubling_cumsum(shift, x, axis: int):
+    """Inclusive prefix sum via shift-doubling adds — one association
+    order for both backends."""
+    for k in doubling_steps(x.shape[axis]):
+        dy, dx = (k, 0) if axis == 0 else (0, k)
+        x = x + shift(x, dy, dx, 0.0)
+    return x
+
+
+def axis_costs(shift, img):
+    """Loop-invariant inter-pixel costs and their prefix sums.
+
+    crow[i, j] = cost of stepping between (i, j-1) and (i, j); the first
+    column is 0 so srow = cumsum(crow) satisfies
+    srow[i, j] - srow[i, k] = path cost k -> j along row i.
+    """
+    eps = np.float32(1e-3)
+    crow = jnp.abs(img - shift(img, 0, 1, 0.0)) + eps
+    col_idx = lax.broadcasted_iota(jnp.int32, img.shape, 1)
+    crow = jnp.where(col_idx == 0, 0.0, crow)
+    ccol = jnp.abs(img - shift(img, 1, 0, 0.0)) + eps
+    row_idx = lax.broadcasted_iota(jnp.int32, img.shape, 0)
+    ccol = jnp.where(row_idx == 0, 0.0, ccol)
+    return doubling_cumsum(shift, crow, 1), doubling_cumsum(shift, ccol, 0)
+
+
+def sweep(shift, d, l, srow, scol, max_scan: int):
+    """One Gauss-Seidel sweep: LR, RL, TB, BT line relaxations.
+
+    left-to-right relaxes d'[i] = min(d[i], min_{j<i}(d[j] - s[j]) + s[i]);
+    right-to-left uses min_{j>i}(d[j] + s[j]) - s[i]; then the same along
+    columns — each scan sees the previous scan's updates."""
+    w, lw = scan_min_carry(shift, d - srow, l, 1, False, max_scan)
+    cand = w + srow
+    take = cand < d
+    d, l = jnp.where(take, cand, d), jnp.where(take, lw, l)
+    w, lw = scan_min_carry(shift, d + srow, l, 1, True, max_scan)
+    cand = w - srow
+    take = cand < d
+    d, l = jnp.where(take, cand, d), jnp.where(take, lw, l)
+    w, lw = scan_min_carry(shift, d - scol, l, 0, False, max_scan)
+    cand = w + scol
+    take = cand < d
+    d, l = jnp.where(take, cand, d), jnp.where(take, lw, l)
+    w, lw = scan_min_carry(shift, d + scol, l, 0, True, max_scan)
+    cand = w - scol
+    take = cand < d
+    d, l = jnp.where(take, cand, d), jnp.where(take, lw, l)
+    return d, l

@@ -225,7 +225,9 @@ class CADxApp:
         if os.path.commonpath([os.path.realpath(path), bulk]) != bulk:
             return {"error": "invalid image name",
                     "redirect": "/bulk-select-parameters"}
-        if not os.path.exists(path):
+        # isfile (not exists): image_name='.' resolves to the bulk folder
+        # itself and would raise IsADirectoryError on open
+        if not os.path.isfile(path):
             return {"error": f"{image_name} does not exist",
                     "redirect": "/bulk-select-parameters"}
         with open(path, "rb") as f:
@@ -363,12 +365,13 @@ class CADxApp:
         features, err = self._load_features()
         if err:
             return err
-        base = self.engine.classify(features, pipeline)
         if reference_parity:
+            base = self.engine.classify(features, pipeline)
             coords = [{"top": 0.20, "left": 0.30,
                        "width": 0.20, "height": 0.175}] * 2
         else:
-            coords = self.engine.roi_coords_per_class(features, pipeline)
+            # one shared feature-prep + forward for both payload halves
+            base, coords = self.engine.classify_and_roi(features, pipeline)
         self.ws.wait("gradcam")  # overlays ready before the viewer reads them
         results = []
         for class_idx in range(2):

@@ -88,6 +88,15 @@ class InferenceEngine:
 
             self.gradcam_resnet = _resnet.encoder_params_from_state_dict(
                 gradcam_pth)
+            # fail at startup, not per-request: reference Grad-CAM needs
+            # the classification head (an fc-less smp ENCODER .pth passed
+            # here by mistake would otherwise 500 on every /classify)
+            if "fc" not in self.gradcam_resnet[1]:
+                raise ValueError(
+                    f"gradcam_pth {gradcam_pth!r} has no 'fc' head — it "
+                    "looks like an encoder-only state dict (use "
+                    "encoder_pth= for that); reference Grad-CAM needs a "
+                    "full classifier resnet50 .pth")
         if basic_npz and os.path.exists(basic_npz):
             cfg, params = _ckpt.load_npz(basic_npz)
             self.config = dataclasses.replace(self.config, basic_classifier=cfg)
@@ -179,6 +188,24 @@ class InferenceEngine:
         """One sample -> result dict shaped like the reference's results
         rows (app.py:555-564 / :597-606)."""
         feats_in, params, cfg = self._prep_classifier_input(features, pipeline)
+        return self._classify_prepped(feats_in, params, cfg, pipeline)
+
+    def classify_and_roi(self, features: np.ndarray, pipeline: str = "basic",
+                         class_indices=(0, 1)):
+        """classify + per-class CAM roiCoords sharing ONE feature prep and
+        forward (the /roi route needs both; calling classify and
+        roi_coords_per_class separately re-ran process_bottleneck_features
+        and the classifier forward)."""
+        from cadx_tpu.xai.gradcam import gradcam_map
+        from cadx_tpu.xai.roi import roi_coords_dict
+
+        feats_in, params, cfg = self._prep_classifier_input(features, pipeline)
+        result = self._classify_prepped(feats_in, params, cfg, pipeline)
+        coords = [roi_coords_dict(gradcam_map(params, feats_in, ci, cfg))
+                  for ci in class_indices]
+        return result, coords
+
+    def _classify_prepped(self, feats_in, params, cfg, pipeline: str) -> dict:
         if pipeline == "basic":
             cls_idx, probs = self._predict_basic(feats_in)
         else:

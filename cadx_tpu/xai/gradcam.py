@@ -135,7 +135,13 @@ def resnet_gradcam_overlay(params, img_u8: jax.Array, class_idx: int,
     (show_cam_on_image output, grayscale_cam*255) pair (GRADCAM.py:63-70)."""
     x = imagenet_input_from_gray(img_u8)
     cam = resnet_gradcam_map(params, x, class_idx, config)
-    cam_big = jnp.clip(resize_linear(cam, out_hw), 0.0, 1.0)
+    cam_big = resize_linear(cam, out_hw)
+    # pytorch-grad-cam runs scale_cam_image AGAIN after the resize
+    # (BaseCAM.compute_cam_per_layer -> scale_cam_image(cam, target_size));
+    # bilinear output of a [0,1] map has min>0/max<1, so skipping this
+    # second min-max shifts heatmaps by several u8 counts
+    cam_big = cam_big - cam_big.min()
+    cam_big = cam_big / (1e-7 + cam_big.max())
     heatmap_u8 = (cam_big * 255).astype(jnp.uint8)
     jet_rgb = apply_jet(heatmap_u8).astype(jnp.float32)[..., ::-1] / 255.0
     img_f = jnp.stack([img_u8.astype(jnp.float32) / 255.0] * 3, axis=-1)

@@ -26,7 +26,10 @@ def test_binary_threshold_matches_cv2(rng):
 
 def test_erode_dilate_open_match_cv2(rng):
     img = _blob_mask(rng)
-    for k, it in [(3, 1), (3, 7), (5, 2), (15, 1)]:
+    # even k exercise the anchor-at-k//2 (asymmetric window) path of the
+    # van Herk reduction — a round-2 review found a centered-window
+    # regression there that odd-only coverage missed
+    for k, it in [(3, 1), (3, 7), (5, 2), (15, 1), (2, 1), (4, 1), (4, 3), (6, 2)]:
         kernel = np.ones((k, k), np.uint8)
         np.testing.assert_array_equal(
             np.asarray(morphology.erode(jnp.asarray(img), k, it)),

@@ -238,6 +238,33 @@ def test_resnet50_gradcam_matches_torch_oracle():
         np.testing.assert_allclose(ours, ref, atol=2e-3)
 
 
+def test_resnet50_gradcam_heatmap_matches_pygradcam_pipeline():
+    """End-to-end heatmap oracle mirroring pytorch-grad-cam's FULL
+    pipeline: scale_cam_image at feature res -> cv2 bilinear resize ->
+    scale_cam_image AGAIN (the second renorm a round-2 review found
+    missing — bilinear output of a [0,1] map has min>0/max<1)."""
+    torch = pytest.importorskip("torch")
+    import cv2
+
+    net = _torch_resnet(torch, "bottleneck", num_classes=5, seed=5)
+    cfg, params = resnet.params_from_state_dict(net.state_dict())
+    img = np.random.default_rng(4).integers(0, 256, (96, 96)).astype(np.uint8)
+    x = gradcam.imagenet_input_from_gray(jnp.asarray(img))
+    tx = torch.tensor(np.asarray(x).transpose(0, 3, 1, 2), requires_grad=True)
+
+    for class_idx in (0, 1):
+        _, hm = gradcam.resnet_gradcam_overlay(
+            params, jnp.asarray(img), class_idx, cfg, (96, 96))
+        cam = _torch_gradcam(torch, net, tx, class_idx)
+        big = cv2.resize(cam.astype(np.float32), (96, 96),
+                         interpolation=cv2.INTER_LINEAR)
+        big = big - big.min()
+        big = big / (1e-7 + big.max())
+        ref = (big * 255).astype(np.uint8)
+        diff = np.abs(np.asarray(hm).astype(int) - ref.astype(int))
+        assert diff.max() <= 2, diff.max()
+
+
 def test_reference_gradcam_overlay_files(tmp_path):
     torch = pytest.importorskip("torch")
     net = _torch_resnet(torch, "bottleneck", num_classes=5, seed=4)
@@ -269,6 +296,12 @@ def test_engine_accepts_encoder_and_gradcam_pth(tmp_path):
     cam_path = str(tmp_path / "r50.pth")
     torch.save({f"encoder.{k}": v for k, v in enc.state_dict().items()}, enc_path)
     torch.save(r50.state_dict(), cam_path)
+
+    # an encoder-only (fc-less) .pth passed as gradcam_pth must fail at
+    # STARTUP with a clear message, not 500 on the first request
+    with pytest.raises(ValueError, match="fc"):
+        InferenceEngine(EngineConfig(segment_hw=(64, 64), feature_resize=(8, 8)),
+                        gradcam_pth=enc_path)
 
     engine = InferenceEngine(
         EngineConfig(segment_hw=(64, 64), feature_resize=(8, 8)),

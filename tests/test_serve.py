@@ -194,6 +194,10 @@ def test_bulk_flow(server):
     for evil in ("../secret.png", outside, "a/../../secret.png"):
         out = srv.app.upload_bulk_image(evil)
         assert out.get("error") == "invalid image name", evil
+    # '.' passes the bare-filename check but resolves to the bulk folder
+    # itself — must return the clean payload, not IsADirectoryError
+    out = srv.app.upload_bulk_image(".")
+    assert "error" in out and "redirect" in out
 
 
 def test_error_paths(server):
