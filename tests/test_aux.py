@@ -142,6 +142,8 @@ def test_fit_resume(tmp_path, rng):
 
 
 def test_dp_pipeline_on_mesh(rng):
+    if jax.device_count() < 8:
+        pytest.skip("needs an 8-device mesh")
     import cv2
 
     from cadx_tpu.parallel import data_parallel as dp

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cadx_tpu.models import unet
 from cadx_tpu.parallel import mesh as meshlib
@@ -35,6 +36,8 @@ def test_unet_segmentation_learns(rng):
 
 
 def test_unet_segmentation_on_mesh(rng):
+    if jax.device_count() < 8:
+        pytest.skip("needs an 8-device mesh")
     mesh = meshlib.make_mesh()
     config = unet.UNetConfig(features=(8, 16))
     params = unet.init_unet(jax.random.key(0), config)
@@ -49,6 +52,9 @@ def test_2d_data_by_spatial_sharding(rng):
     """Encoder conv with batch on 'data' AND height on 'model' — a true
     2D sharding with halo exchanges in both partitioned conv dims."""
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if jax.device_count() < 8:
+        pytest.skip("needs an 8-device mesh")
 
     mesh = meshlib.make_mesh(n_data=4, n_model=2)
     params = unet.init_resnet_encoder(jax.random.key(0))

@@ -4,6 +4,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+import jax as _jax
+
+# these tests shard over an 8-device mesh (virtual CPU in CI); on the
+# single real TPU (CADX_TEST_TPU=1) they cannot run
+pytestmark = pytest.mark.skipif(
+    _jax.device_count() < 8, reason="needs an 8-device mesh")
 
 from cadx_tpu import checkpoint
 from cadx_tpu.models import cnn, unet
