@@ -17,6 +17,15 @@ from cadx_tpu.models import resnet, unet
 from cadx_tpu.xai import gradcam
 
 
+# The resnet/encoder convs deliberately run at DEFAULT MXU precision (the
+# throughput-critical path; ops/conv.py keeps HIGHEST only for the
+# bit-faithful classifier). A single bf16 MXU pass drifts ~6e-3 absolute
+# vs torch f32, so on the real TPU the oracle tolerance widens; CPU (and
+# the classifier parity suites) stay tight.
+_CONV_ATOL = 1e-4 if jax.default_backend() != "tpu" else 2e-2
+
+
+
 # ---------------------------------------------------------------------------
 # torch oracles (torchvision module/key layout, independent implementation)
 # ---------------------------------------------------------------------------
@@ -139,15 +148,15 @@ def test_bottleneck_state_dict_import_matches_torch():
     tx = torch.tensor(x.transpose(0, 3, 1, 2))
     with torch.no_grad():
         t = net.conv1(tx)
-        np.testing.assert_allclose(np.asarray(feats[0]), _nhwc(t), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(feats[0]), _nhwc(t), atol=_CONV_ATOL)
         t = net.maxpool(net.relu(net.bn1(t)))
-        np.testing.assert_allclose(np.asarray(feats[3]), _nhwc(t), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(feats[3]), _nhwc(t), atol=_CONV_ATOL)
         t = net.layer2(net.layer1(t))
-        np.testing.assert_allclose(np.asarray(feats[5]), _nhwc(t), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(feats[5]), _nhwc(t), atol=_CONV_ATOL)
         t = net.layer4(net.layer3(t))
-        np.testing.assert_allclose(np.asarray(feats[7]), _nhwc(t), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(feats[7]), _nhwc(t), atol=_CONV_ATOL)
         tl = net(tx).numpy()
-    np.testing.assert_allclose(np.asarray(logits), tl, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(logits), tl, atol=_CONV_ATOL)
 
 
 def test_basic_state_dict_import_smp_prefix_feeds_engine_encoder():
@@ -173,10 +182,10 @@ def test_basic_state_dict_import_smp_prefix_feeds_engine_encoder():
         ref0 = _nhwc(t)
         ref_last = _nhwc(net.layer4(net.layer3(net.layer2(net.layer1(
             net.maxpool(net.relu(net.bn1(t))))))))
-    np.testing.assert_allclose(np.asarray(feats_r[0]), ref0, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(feats_u[0]), ref0, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(feats_r[-1]), ref_last, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(feats_u[-1]), ref_last, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(feats_r[0]), ref0, atol=_CONV_ATOL)
+    np.testing.assert_allclose(np.asarray(feats_u[0]), ref0, atol=_CONV_ATOL)
+    np.testing.assert_allclose(np.asarray(feats_r[-1]), ref_last, atol=_CONV_ATOL)
+    np.testing.assert_allclose(np.asarray(feats_u[-1]), ref_last, atol=_CONV_ATOL)
 
 
 def test_load_state_dict_file_roundtrip(tmp_path):

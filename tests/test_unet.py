@@ -9,6 +9,18 @@ import pytest
 from cadx_tpu.models import unet
 
 
+# The resnet/encoder convs deliberately run at DEFAULT MXU precision (the
+# throughput-critical path; ops/conv.py keeps HIGHEST only for the
+# bit-faithful classifier). A single bf16 MXU pass drifts ~6e-3 absolute
+# vs torch f32, so on the real TPU the oracle tolerance widens; CPU (and
+# the classifier parity suites) stay tight.
+_CONV_ATOL = 1e-4 if jax.default_backend() != "tpu" else 2e-2
+# deeper stages compound the per-conv bf16 drift through bn/relu chains
+_CONV_ATOL_L2 = 1e-3 if jax.default_backend() != "tpu" else 5e-2
+_CONV_ATOL_L4 = 1e-2 if jax.default_backend() != "tpu" else 1e-1
+
+
+
 def test_tiny_unet_matches_keras(rng):
     tf = pytest.importorskip("tensorflow")
     from tensorflow.keras import layers, models
@@ -185,9 +197,9 @@ def test_resnet_encoder_matches_torch_oracle(rng):
         t5 = tmodel.layer4(tmodel.layer3(t4))
         ref_l4 = t5.numpy().transpose(0, 2, 3, 1)
 
-    np.testing.assert_allclose(np.asarray(feats[0]), ref_conv1, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(feats[5]), ref_l2, atol=1e-3)
-    np.testing.assert_allclose(np.asarray(feats[7]), ref_l4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(feats[0]), ref_conv1, atol=_CONV_ATOL)
+    np.testing.assert_allclose(np.asarray(feats[5]), ref_l2, atol=_CONV_ATOL_L2)
+    np.testing.assert_allclose(np.asarray(feats[7]), ref_l4, atol=_CONV_ATOL_L4)
     assert feats[0].shape == (1, 32, 32, 64)  # /2 spatial, 64ch contract
 
 
