@@ -97,7 +97,8 @@ def main():
     from cadx_tpu.pipeline import fused
 
     hw = 256
-    batch = 128
+    batch = 96  # sweet spot: 2098 img/s vs 1929 at 128 / 1992 at 32
+              # (HBM working set of the u8 overlay outputs grows with batch)
     config = fused.PipelineConfig(
         image_hw=(hw, hw),
         feature_hw=(32, 32),
@@ -163,7 +164,7 @@ def main():
         "value": round(imgs_per_sec, 1),
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec / target, 3),
-        "p50_latency_ms_batch128": round(p50 * 1000, 2),
+        "p50_latency_ms_batch": round(p50 * 1000, 2),
         "p50_latency_ms_single_image": round(p50_single * 1000, 2),
         "batch": batch,
         "pass_ms_min": round(pass_ms[0], 2),
