@@ -107,7 +107,10 @@ def _use_pallas(h: int, w: int, planes: int = 10) -> bool:
     """Dispatch to the VMEM-resident Pallas kernels on TPU for images big
     enough to tile cleanly yet small enough to fit the whole relaxation
     in VMEM (~16MB/core budget; `planes` = concurrent full-image int32/f32
-    buffers the kernel holds incl. loop temporaries). Bit-identical
+    buffers the kernel holds incl. loop temporaries). The budget uses
+    TILE-PADDED dims (sublanes round to 8, lanes to 128): a 517x517 plane
+    occupies 520x640 in VMEM — the round-2 scan watershed OOM'd the
+    Mosaic stack at such sizes when this used raw dims. Bit-identical
     results either way. CADX_DISABLE_PALLAS=1 forces the XLA path."""
     import os
 
@@ -118,7 +121,9 @@ def _use_pallas(h: int, w: int, planes: int = 10) -> bool:
     seg_bits = int(np.ceil(np.log2(max(h, w) + 2)))
     if _label_bits(h, w) + seg_bits > 30:
         return False
-    vmem_bytes = h * w * 4 * planes
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    vmem_bytes = hp * wp * 4 * planes
     return min(h, w) >= 128 and vmem_bytes <= 14 * 1024 * 1024
 
 

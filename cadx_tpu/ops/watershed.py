@@ -65,7 +65,11 @@ def marker_watershed(image: jax.Array, markers: jax.Array,
     h, w = image.shape
     from cadx_tpu.ops.components import _use_pallas
 
-    if _use_pallas(h, w):
+    # planes=16: the scan kernel holds img/d/l/srow/scol + per-scan
+    # shifted temporaries — measured ~14.3 live planes at 517x517 (19MB,
+    # OOM'd the 16MB Mosaic stack under the old planes=10 budget).
+    # Oversized images fall back to the HBM XLA path, which is exact.
+    if _use_pallas(h, w, planes=16):
         from cadx_tpu.kernels.watershed_kernel import marker_watershed_pallas
 
         labels, boundary = marker_watershed_pallas(
