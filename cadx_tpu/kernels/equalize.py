@@ -28,45 +28,73 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _equalize_kernel(img_ref, out_ref, *, chunk: int):
     _, n = img_ref.shape[1], img_ref.shape[2]
-    bins = lax.broadcasted_iota(jnp.int32, (256, 1), 0)
     n_chunks = n // chunk
+    nib = lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    dn = (((1,), (1,)), ((), ()))   # contract axis 1 x axis 1 (no transpose)
 
-    # -------- histogram: fori over pixel chunks, all 256 bins at once --
-    def hist_body(t, hist):
+    # -------- histogram via nibble one-hots + one MXU dot per chunk ----
+    # hist2d[a, c] = #pixels with hi nibble a and lo nibble c
+    #            = HI (16, chunk) @ LO^T (chunk, 16)
+    # 0/1 operands are exact in bf16 and counts accumulate in f32, so
+    # the default-precision MXU dot is exact; 2x16-wide compares replace
+    # the 256-wide compare plane (16x less VPU work).
+    def hist_body(t, hist2d):
         px = img_ref[0, :, pl.ds(t * chunk, chunk)]          # (1, chunk)
-        cmp = (px == bins).astype(jnp.int32)                 # (256, chunk)
-        return hist + cmp.sum(axis=1, keepdims=True)
+        hi = (px >> 4) == nib                                # (16, chunk)
+        lo = (px & 15) == nib
+        d = lax.dot_general(hi.astype(jnp.float32), lo.astype(jnp.float32),
+                            dn, preferred_element_type=jnp.float32)
+        return hist2d + d
 
-    hist = lax.fori_loop(
-        0, n_chunks, hist_body, jnp.zeros((256, 1), jnp.int32)
-    )
+    hist2d = lax.fori_loop(
+        0, n_chunks, hist_body, jnp.zeros((16, 16), jnp.float32)
+    ).astype(jnp.int32)                                      # (16, 16)
 
-    # -------- CDF + LUT (mirrors ops.histogram.equalize_hist exactly) --
-    row = lax.broadcasted_iota(jnp.int32, (256, 1), 0)
-    cdf = hist
+    # -------- CDF + LUT over the a-major (16,16) layout (bin = 16a+c) --
+    col = lax.broadcasted_iota(jnp.int32, (16, 16), 1)
+    row = lax.broadcasted_iota(jnp.int32, (16, 16), 0)
+    # prefix within each row (lo nibble axis)
+    cdf = hist2d
     shift = 1
-    while shift < 256:  # doubling prefix sum along sublanes
-        rolled = pltpu.roll(cdf, shift, 0)
-        cdf = cdf + jnp.where(row < shift, 0, rolled)
+    while shift < 16:
+        rolled = pltpu.roll(cdf, shift, 1)
+        cdf = cdf + jnp.where(col < shift, 0, rolled)
         shift *= 2
-    total = jnp.sum(jnp.where(row == 255, cdf, 0))
-    first_idx = jnp.min(jnp.where(hist > 0, row, 256))       # first occupied
-    cdf_min = jnp.sum(jnp.where(row == first_idx, cdf, 0))
+    # add previous rows' totals (exclusive prefix of row sums)
+    row_tot = jnp.sum(cdf * (col == 15), axis=1, keepdims=True)  # (16,1)
+    rr = lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    excl = jnp.where(rr < 1, 0, pltpu.roll(row_tot, 1, 0))
+    shift = 1
+    while shift < 16:
+        rolled = pltpu.roll(excl, shift, 0)
+        excl = excl + jnp.where(rr < shift, 0, rolled)
+        shift *= 2
+    cdf = cdf + excl                                          # (16, 16)
+
+    binidx = row * 16 + col
+    total = jnp.sum(jnp.where(binidx == 255, cdf, 0))
+    first_idx = jnp.min(jnp.where(hist2d > 0, binidx, 256))   # first occupied
+    cdf_min = jnp.sum(jnp.where(binidx == first_idx, cdf, 0))
     denom = jnp.maximum(total - cdf_min, 1).astype(jnp.float32)
-    lut = jnp.clip(
+    lut2d = jnp.clip(
         jnp.round((cdf - cdf_min).astype(jnp.float32) * 255.0 / denom),
         0, 255,
-    ).astype(jnp.int32)                                      # (256, 1)
+    )                                                         # (16, 16) f32
 
-    single_level = jnp.sum((hist > 0).astype(jnp.int32)) <= 1
+    single_level = jnp.sum((hist2d > 0).astype(jnp.int32)) <= 1
 
-    # -------- LUT application: same chunked compare, weighted by lut ---
+    # -------- LUT application: M = lut2d @ LO, out = sum_a HI_a * M_a --
+    # lut values up to 255 are NOT bf16-exact, so this dot runs HIGHEST
     def apply_body(t, _):
-        px = img_ref[0, :, pl.ds(t * chunk, chunk)]          # (1, chunk)
-        cmp = px == bins                                     # (256, chunk)
-        vals = jnp.where(cmp, lut, 0).sum(axis=0, keepdims=True)
+        px = img_ref[0, :, pl.ds(t * chunk, chunk)]           # (1, chunk)
+        hi = (px >> 4) == nib
+        lo = ((px & 15) == nib).astype(jnp.float32)           # (16, chunk)
+        m = lax.dot_general(lut2d, lo, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+        vals = jnp.sum(jnp.where(hi, m, 0.0), axis=0, keepdims=True)
         out_ref[0, :, pl.ds(t * chunk, chunk)] = jnp.where(
-            single_level, px, vals
+            single_level, px, vals.astype(jnp.int32)
         )
         return 0
 
@@ -78,7 +106,10 @@ def equalize_hist_pallas(imgs_u8: jax.Array, interpret: bool = False) -> jax.Arr
     """Batched cv2.equalizeHist: (B, H, W) uint8 -> (B, H, W) uint8."""
     b, h, w = imgs_u8.shape
     n = h * w
-    chunk = 4096
+    # biggest power-of-two chunk (fewer fori iterations wins: the kernel
+    # is launch/latency-bound, 3.55 vs 4.1 ms/96-batch at whole-image
+    # chunks); capped so the (16, chunk) temporaries stay ~4MB
+    chunk = 65536
     while n % chunk:
         chunk //= 2
     flat = imgs_u8.astype(jnp.int32).reshape(b, 1, n)
