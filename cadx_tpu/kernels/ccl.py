@@ -51,14 +51,15 @@ def _doubling_cummin(p, axis: int, reverse: bool, fill):
     return p
 
 
-def _ccl_kernel(mask_ref, rowseg_ref, colseg_ref, out_ref, *, lbl_bits: int,
-                connectivity: int, max_iters: int):
-    h, w = mask_ref.shape[1], mask_ref.shape[2]
+def ccl_relax(mask, row_seg, col_seg, *, lbl_bits: int,
+              connectivity: int, max_iters: int):
+    """In-kernel CCL to the fixpoint: (h, w) bool mask + barrier segment
+    ids -> int32 labels (component-min linear index; background holds
+    the (1<<lbl_bits)-1 sentinel). Shared by the standalone CCL kernel
+    and the fused largest-object kernel (kernels/largest_obj.py)."""
+    h, w = mask.shape
     lbl_mask = np.int32((1 << lbl_bits) - 1)
     big = np.int32(2**30)
-    mask = mask_ref[0] != 0
-    row_seg = rowseg_ref[0]
-    col_seg = colseg_ref[0]
     max_row_seg = np.int32(w + 1)
     max_col_seg = np.int32(h + 1)
 
@@ -95,7 +96,14 @@ def _ccl_kernel(mask_ref, rowseg_ref, colseg_ref, out_ref, *, lbl_bits: int,
         return new, jnp.any(new != vals), it + 1
 
     final, _, _ = lax.while_loop(cond, body, (init, jnp.bool_(True), 0))
-    out_ref[0] = final
+    return final
+
+
+def _ccl_kernel(mask_ref, rowseg_ref, colseg_ref, out_ref, *, lbl_bits: int,
+                connectivity: int, max_iters: int):
+    out_ref[0] = ccl_relax(mask_ref[0] != 0, rowseg_ref[0], colseg_ref[0],
+                           lbl_bits=lbl_bits, connectivity=connectivity,
+                           max_iters=max_iters)
 
 
 @functools.partial(jax.jit, static_argnames=("connectivity", "max_iters", "interpret"))

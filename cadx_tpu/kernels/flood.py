@@ -42,12 +42,11 @@ def _doubling_cummax(p, axis: int, reverse: bool):
     return p
 
 
-def _flood_kernel(mask_ref, seed_ref, rowseg_ref, colseg_ref, out_ref, *,
-                  max_iters: int):
-    h, w = mask_ref.shape[1], mask_ref.shape[2]
-    mask = mask_ref[0]
-    row_seg = rowseg_ref[0]
-    col_seg = colseg_ref[0]
+def flood_relax(mask, seed, row_seg, col_seg, *, max_iters: int):
+    """In-kernel 4-connected flood to the fixpoint: i32 (h, w) mask/seed
+    (0/1) + barrier segment ids -> i32 reach. Shared by the standalone
+    flood kernel and the fused largest-object kernel."""
+    h, w = mask.shape
     max_row_seg = np.int32(w + 1)
     max_col_seg = np.int32(h + 1)
 
@@ -69,9 +68,15 @@ def _flood_kernel(mask_ref, seed_ref, rowseg_ref, colseg_ref, out_ref, *,
         new = sweep(reach)
         return new, jnp.any(new != reach), it + 1
 
-    init = seed_ref[0] & mask
+    init = seed & mask
     reach, _, _ = lax.while_loop(cond, body, (init, jnp.bool_(True), 0))
-    out_ref[0] = reach
+    return reach
+
+
+def _flood_kernel(mask_ref, seed_ref, rowseg_ref, colseg_ref, out_ref, *,
+                  max_iters: int):
+    out_ref[0] = flood_relax(mask_ref[0], seed_ref[0], rowseg_ref[0],
+                             colseg_ref[0], max_iters=max_iters)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "interpret"))

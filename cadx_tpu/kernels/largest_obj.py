@@ -1,0 +1,165 @@
+"""Pallas TPU kernel: the full largest-object selection chain in ONE
+VMEM-resident program per image.
+
+The cleaner's select_largest_obj (customImageCleaner.py:60-82) and
+segment_breast (:107-119) each compose CCL -> argmax-area -> flood-based
+hole filling (-> boundary opening). As separate kernels that is 3-4
+launches per image per stage, and the per-program launch/DMA overhead
+(~35us/image/kernel on this chip) dominates the actual VPU work. This
+kernel chains the SAME in-kernel phase implementations —
+kernels/ccl.py::ccl_relax, kernels/mode.py::largest_mask_from_labels,
+kernels/flood.py::flood_relax, plus a doubling-shift min/max opening —
+with the intermediate planes staying in VMEM, so each call site pays
+one launch instead of three. Results are bit-identical to composing the
+standalone kernels / XLA ops (each phase is the identical code).
+
+Two orderings (flags mirror the two cleaner call sites):
+- fill_first=False: CCL+mode on the input, then optional hole fill,
+  then optional opening  (select_largest_obj)
+- fill_first=True:  hole-fill the input, then CCL+mode
+  (segment_breast's drawContours-fill-then-argmax semantics)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cadx_tpu.kernels.ccl import ccl_relax
+from cadx_tpu.kernels.flood import flood_relax
+from cadx_tpu.kernels.mode import largest_mask_from_labels
+
+
+def _cumsum_i32(x, axis: int):
+    """Doubling prefix sum (exact for int32; no Mosaic cumsum lowering)."""
+    n = x.shape[axis]
+    idx = lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    shift = 1
+    while shift < n:
+        rolled = pltpu.roll(x, shift, axis)
+        x = x + jnp.where(idx < shift, 0, rolled)
+        shift *= 2
+    return x
+
+
+def _segs(mask_bool):
+    """Row/col barrier segment ids for the scan phases."""
+    barriers = 1 - mask_bool.astype(jnp.int32)
+    return _cumsum_i32(barriers, 1), _cumsum_i32(barriers, 0)
+
+
+def _shift_ahead(x, s: int, axis: int, fill):
+    """Value at index i+s along axis (tail filled)."""
+    n = x.shape[axis]
+    idx = lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    rolled = pltpu.roll(x, n - s, axis)
+    return jnp.where(idx >= n - s, fill, rolled)
+
+
+def _shift_back(x, s: int, axis: int, fill):
+    n = x.shape[axis]
+    idx = lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    rolled = pltpu.roll(x, s, axis)
+    return jnp.where(idx < s, fill, rolled)
+
+
+def _axis_window_min(x, k: int, axis: int, fill):
+    """Min over the centered k-window [i-k//2, i+k-1-k//2] along one axis
+    via doubling shifts — identical values to the XLA van Herk reduction
+    (min is exact; out-of-image positions contribute `fill`). Built as
+    min(forward cover [i, i+hi], backward cover [i-lo, i]) so border
+    windows keep their in-image part."""
+    lo, hi = k // 2, k - 1 - k // 2
+
+    def grow(m, span: int, ahead: bool):
+        cov = 1
+        while cov < span:
+            s = min(cov, span - cov)
+            sh = (_shift_ahead if ahead else _shift_back)(m, s, axis, fill)
+            m = jnp.minimum(m, sh)
+            cov += s
+        return m
+
+    fwd = grow(x, hi + 1, True)
+    back = grow(x, lo + 1, False)
+    return jnp.minimum(fwd, back)
+
+
+def _opening(mask_bool, k: int):
+    """MORPH_OPEN on a binary mask: erode (min, border=1) then dilate
+    (max via min on the complement, border=0) — cv2 border rules."""
+    x = mask_bool.astype(jnp.int32)
+    er = _axis_window_min(x, k, 0, 1)       # erode: border = +max = 1
+    er = _axis_window_min(er, k, 1, 1)
+    # dilate = NOT erode(NOT x) with border 0 -> complement border 1
+    inv = 1 - er
+    di = _axis_window_min(inv, k, 0, 1)
+    di = _axis_window_min(di, k, 1, 1)
+    return (1 - di) == 1
+
+
+def _fill_holes(mask_bool, max_iters: int):
+    """Border-flood the complement; unreached background = holes."""
+    h, w = mask_bool.shape
+    inv = (~mask_bool).astype(jnp.int32)
+    r = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    c = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    border = ((r == 0) | (r == h - 1) | (c == 0) | (c == w - 1)).astype(jnp.int32)
+    rs, cs = _segs(inv == 1)
+    reach = flood_relax(inv, border & inv, rs, cs, max_iters=max_iters)
+    holes = (inv == 1) & (reach == 0)
+    return mask_bool | holes
+
+
+def _largest_obj_kernel(mask_ref, out_ref, *, lbl_bits: int,
+                        connectivity: int, fill: bool, smooth_k: int,
+                        fill_first: bool, max_iters: int):
+    m = mask_ref[0] != 0
+    if fill_first:
+        m = _fill_holes(m, max_iters)
+    rs, cs = _segs(m)
+    labels = ccl_relax(m, rs, cs, lbl_bits=lbl_bits,
+                       connectivity=connectivity, max_iters=max_iters)
+    out = largest_mask_from_labels(labels, m)
+    if fill and not fill_first:
+        out = _fill_holes(out, max_iters)
+    if smooth_k:
+        out = _opening(out, smooth_k)
+    out_ref[0] = out.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "connectivity", "fill", "smooth_k", "fill_first", "max_iters", "interpret"))
+def largest_obj_pallas(masks: jax.Array, connectivity: int = 8,
+                       fill: bool = False, smooth_k: int = 0,
+                       fill_first: bool = False, max_iters: int = 128,
+                       interpret: bool = False) -> jax.Array:
+    """Batched fused largest-object chain: (B,H,W) bool -> (B,H,W) bool.
+    H, W must be powers of two (the bitonic mode phase)."""
+    b, h, w = masks.shape
+    if (h & (h - 1)) or (w & (w - 1)):
+        raise ValueError(f"fused kernel needs power-of-two dims, got {h}x{w}")
+    lbl_bits = int(np.ceil(np.log2(h * w + 1)))
+    seg_bits = int(np.ceil(np.log2(max(h, w) + 2)))
+    if lbl_bits + seg_bits > 30:
+        raise ValueError(f"image too large for packed CCL: {h}x{w}")
+    spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_largest_obj_kernel, lbl_bits=lbl_bits,
+                          connectivity=connectivity, fill=fill,
+                          smooth_k=smooth_k, fill_first=fill_first,
+                          max_iters=max_iters),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        grid=(b,),
+        in_specs=[spec],
+        out_specs=spec,
+        interpret=interpret,
+    )(masks.astype(jnp.int32))
+    return out == 1

@@ -157,9 +157,11 @@ def _reverse_cummin_raster(x, fill):
     return x
 
 
-def _mode_mask_kernel(labels_ref, mask_ref, out_ref):
-    labels = labels_ref[0]
-    mask = mask_ref[0] != 0
+def largest_mask_from_labels(labels, mask):
+    """In-kernel argmax-area selection: (h, w) i32 CCL labels + bool mask
+    -> bool mask of the largest component (bitonic sort + run-length,
+    smallest-label tie-break — bit-identical to ops._mode_label). Shared
+    by the standalone mode kernel and the fused largest-object kernel."""
     h, w = labels.shape
     n = h * w
 
@@ -179,7 +181,12 @@ def _mode_mask_kernel(labels_ref, mask_ref, out_ref):
     rmax = jnp.max(runlen)
     best = jnp.min(jnp.where((runlen == rmax) & (runlen > 0), s, _SENTINEL))
 
-    out_ref[0] = (mask & (labels == best)).astype(jnp.int32)
+    return mask & (labels == best)
+
+
+def _mode_mask_kernel(labels_ref, mask_ref, out_ref):
+    out_ref[0] = largest_mask_from_labels(
+        labels_ref[0], mask_ref[0] != 0).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

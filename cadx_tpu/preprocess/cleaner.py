@@ -47,10 +47,24 @@ def select_largest_obj(img_bin: jax.Array, lab_val: int = 255,
     ring-shaped artifacts elsewhere in frame stay background. Output dtype
     follows lab_val's magnitude (uint16 masks for uint16 images).
     """
+    from cadx_tpu.ops.components import _use_pallas
+
     fg = img_bin > 0
+    h, w = fg.shape
+    out_dtype = jnp.uint8 if lab_val <= 255 else jnp.uint16
+    if _use_pallas(h, w) and not (h & (h - 1)) and not (w & (w - 1)):
+        # one fused VMEM program for CCL+mode+fill+opening: per-image
+        # kernel-launch overhead (~35us each) dominates the separate
+        # calls; bit-identical phases (kernels/largest_obj.py)
+        from cadx_tpu.kernels.largest_obj import largest_obj_pallas
+
+        mask = largest_obj_pallas(
+            fg[None], 8, fill=fill_holes_,
+            smooth_k=kernel_size if smooth_boundary else 0)[0]
+        return jnp.where(mask, jnp.asarray(lab_val, out_dtype),
+                         jnp.asarray(0, out_dtype))
     largest = largest_component(fg, connectivity=8)
     mask = fill_holes(largest) if fill_holes_ else largest
-    out_dtype = jnp.uint8 if lab_val <= 255 else jnp.uint16
     out = jnp.where(mask, jnp.asarray(lab_val, out_dtype), jnp.asarray(0, out_dtype))
     if smooth_boundary:
         out = opening(out, kernel_size)
@@ -110,8 +124,17 @@ def segment_breast_mask(img: jax.Array, low_int_threshold: float = 0.05):
     # outer contour. Labeling the hole-filled mask gives exactly those
     # filled regions, so argmax over them matches cv2's criterion (a
     # hollow ring ranks by its filled interior).
-    filled = fill_holes(img_bin > 0)
-    contour_fill = largest_component(filled, connectivity=8)
+    from cadx_tpu.ops.components import _use_pallas
+
+    hh, ww = img_bin.shape
+    if _use_pallas(hh, ww) and not (hh & (hh - 1)) and not (ww & (ww - 1)):
+        from cadx_tpu.kernels.largest_obj import largest_obj_pallas
+
+        contour_fill = largest_obj_pallas(
+            (img_bin > 0)[None], 8, fill_first=True)[0]
+    else:
+        filled = fill_holes(img_bin > 0)
+        contour_fill = largest_component(filled, connectivity=8)
     img_breast_only = jnp.where(contour_fill, img, jnp.asarray(0, img.dtype))
     return img_breast_only, _bounding_rect(contour_fill)
 

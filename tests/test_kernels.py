@@ -68,6 +68,40 @@ def test_mode_kernel_matches_xla(masks, rng):
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(ours))
 
 
+def test_fused_largest_obj_matches_composition(masks, rng):
+    """The fused CCL+mode+fill+opening kernel == composing the separate
+    ops, for both phase orderings and both smoothing kernels."""
+    from cadx_tpu.kernels.largest_obj import largest_obj_pallas
+    from cadx_tpu.ops.morphology import opening as xla_opening
+
+    hw = 128
+    ring = np.zeros((hw, hw), bool)
+    yy, xx = np.mgrid[0:hw, 0:hw]
+    ring |= np.abs(((yy - 64) ** 2 + (xx - 64) ** 2) ** 0.5 - 30) < 5
+    blob = ((yy - 64) ** 2 + (xx - 120) ** 2) < 3000
+    blob[40:50, 100:110] = False  # a hole
+    cases = [np.asarray(masks[0]), ring, blob, np.zeros((hw, hw), bool)]
+    for m in cases:
+        mj = jnp.asarray(m)
+        largest = C.largest_component(mj, 8)
+        ref_fill = C.fill_holes(largest)
+        ref_smooth = np.asarray(xla_opening(
+            jnp.asarray(np.asarray(ref_fill).astype(np.uint8) * 255), 15)) > 0
+        ref_ff = C.largest_component(C.fill_holes(mj), 8)
+        np.testing.assert_array_equal(
+            np.asarray(ref_fill),
+            np.asarray(largest_obj_pallas(mj[None], 8, fill=True,
+                                          interpret=INTERPRET))[0])
+        np.testing.assert_array_equal(
+            ref_smooth,
+            np.asarray(largest_obj_pallas(mj[None], 8, fill=True, smooth_k=15,
+                                          interpret=INTERPRET))[0])
+        np.testing.assert_array_equal(
+            np.asarray(ref_ff),
+            np.asarray(largest_obj_pallas(mj[None], 8, fill_first=True,
+                                          interpret=INTERPRET))[0])
+
+
 def test_watershed_kernel_matches_xla(rng):
     h = w = 128
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
