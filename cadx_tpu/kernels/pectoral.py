@@ -1,0 +1,132 @@
+"""Pallas TPU kernel: the pectoral-removal tail in ONE VMEM program.
+
+remove_pectoral (customImageCleaner.py:125-157) chains largest-object
+selection -> eroded/dilated marker bands -> marker watershed -> ridge
+masking -> boundary opening. As separate dispatches that is 2 kernel
+launches (largest-object, watershed) plus XLA morphology per image;
+per-program launch overhead (~35us/image/kernel) dominates. This kernel
+runs the whole tail after histogram equalization in one program,
+chaining the SAME phase implementations used by the standalone kernels
+(kernels/largest_obj.py phases, ops/geodesic_scan.py watershed sweeps)
+so results stay bit-identical to the composed path.
+
+Inputs: equalized image, high-threshold binary mask, breast mask.
+Outputs: watershed labels, ridge boundary, opened breast-only mask.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cadx_tpu.kernels.ccl import ccl_relax
+from cadx_tpu.kernels.largest_obj import (
+    _axis_window_min,
+    _fill_holes,
+    _opening,
+    _segs,
+)
+from cadx_tpu.kernels.mode import largest_mask_from_labels
+from cadx_tpu.kernels.watershed_kernel import _shift
+from cadx_tpu.ops import geodesic_scan as G
+
+
+def _window_min2d(x, k: int, fill):
+    out = _axis_window_min(x, k, 0, fill)
+    return _axis_window_min(out, k, 1, fill)
+
+
+def _pectoral_kernel(equ_ref, bin_ref, breast_ref, labels_ref, boundary_ref,
+                     mask_ref, *, lbl_bits: int, morph_k: int, n_morph: int,
+                     sm_k: int, max_iters: int, ws_max_iters: int,
+                     max_scan: int):
+    m = bin_ref[0] != 0
+    # largest object + hole fill (select_largest_obj(fill, no smooth))
+    rs, cs = _segs(m)
+    labels0 = ccl_relax(m, rs, cs, lbl_bits=lbl_bits, connectivity=8,
+                        max_iters=max_iters)
+    pect = largest_mask_from_labels(labels0, m)
+    pect = _fill_holes(pect, max_iters)
+
+    # eroded/dilated marker bands: iterating k x k composes into one
+    # (k-1)*n+1 window (odd centered for the cleaner's k=3)
+    keff = (morph_k - 1) * n_morph + 1
+    p = pect.astype(jnp.int32)
+    er = _window_min2d(p, keff, 1)
+    di = 1 - _window_min2d(1 - p, keff, 1)
+
+    markers = jnp.zeros(p.shape, jnp.int32)
+    markers = jnp.where(er > 0, 255, markers)
+    markers = jnp.where(di == 0, 128, markers)
+    markers = jnp.where(breast_ref[0] == 0, 64, markers)
+
+    # geodesic watershed (shared scan machinery, exact fixpoint)
+    img = equ_ref[0].astype(jnp.float32)
+    dist0 = jnp.where(markers > 0, 0.0, G.BIG)
+    srow, scol = G.axis_costs(_shift, img)
+
+    def body(state):
+        labels, dist, _, it = state
+        new_d, new_l = G.sweep(_shift, dist, labels, srow, scol, max_scan)
+        return new_l, new_d, jnp.any(new_d != dist), it + 1
+
+    def cond(state):
+        _, _, changed, it = state
+        return changed & (it < ws_max_iters)
+
+    labels, _, _, _ = lax.while_loop(
+        cond, body, (markers, dist0, jnp.bool_(True), jnp.int32(0)))
+
+    boundary = jnp.zeros(labels.shape, jnp.int32)
+    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        nl = _shift(labels, dy, dx, 0)
+        boundary = boundary | (
+            (nl > 0) & (labels > 0) & (nl != labels)).astype(jnp.int32)
+
+    # ridge-masked breast label -> opened breast-only mask
+    mask128 = (boundary == 0) & (labels == 128)
+    opened = _opening(mask128, sm_k)
+
+    labels_ref[0] = labels
+    boundary_ref[0] = boundary
+    mask_ref[0] = opened.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "morph_k", "n_morph", "sm_k", "max_iters", "ws_max_iters", "max_scan",
+    "interpret"))
+def pectoral_tail_pallas(img_equ: jax.Array, img_bin: jax.Array,
+                         breast_mask: jax.Array, morph_k: int = 3,
+                         n_morph: int = 7, sm_k: int = 25,
+                         max_iters: int = 128, ws_max_iters: int = 256,
+                         max_scan: int = 32, interpret: bool = False):
+    """Batched: (B,H,W) equalized image + high-threshold mask + breast
+    mask -> (labels, boundary bool, opened breast-only mask bool).
+    H, W must be powers of two (bitonic mode phase)."""
+    b, h, w = img_equ.shape
+    if (h & (h - 1)) or (w & (w - 1)):
+        raise ValueError(f"fused kernel needs power-of-two dims, got {h}x{w}")
+    lbl_bits = int(np.ceil(np.log2(h * w + 1)))
+    spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    labels, boundary, mask = pl.pallas_call(
+        functools.partial(_pectoral_kernel, lbl_bits=lbl_bits,
+                          morph_k=morph_k, n_morph=n_morph, sm_k=sm_k,
+                          max_iters=max_iters, ws_max_iters=ws_max_iters,
+                          max_scan=max_scan),
+        out_shape=(jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+                   jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+                   jax.ShapeDtypeStruct((b, h, w), jnp.int32)),
+        grid=(b,),
+        in_specs=[spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        interpret=interpret,
+    )(img_equ.astype(jnp.int32), img_bin.astype(jnp.int32),
+      breast_mask.astype(jnp.int32))
+    return labels, boundary == 1, mask == 1

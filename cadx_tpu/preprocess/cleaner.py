@@ -158,10 +158,31 @@ def remove_pectoral(img: jax.Array, breast_mask: jax.Array,
     pectoral (breast), 64 = outside the breast mask, 0 = the uncertain
     band the watershed resolves.
     """
+    from cadx_tpu.ops.components import _use_pallas
+
     maxval = max_pix_val(img.dtype)
     img_equ = equalize_hist(img)
     high_th = relative_threshold_value(img, high_int_threshold)
     img_bin = binary_threshold(img_equ, high_th, maxval)
+
+    h, w = img.shape
+    if (_use_pallas(h, w, planes=16) and not (h & (h - 1))
+            and not (w & (w - 1))):
+        # one fused VMEM program for largest-object + marker bands +
+        # watershed + boundary opening (kernels/pectoral.py) — the
+        # separate launches' per-image overhead dominates their compute;
+        # bit-identical phases
+        from cadx_tpu.kernels.pectoral import pectoral_tail_pallas
+
+        labels, boundary, mask_b = pectoral_tail_pallas(
+            img_equ[None], img_bin[None], breast_mask[None],
+            morph_kn_size, n_morph_op, sm_kn_size)
+        boundary = boundary[0]
+        breast_only_mask = jnp.where(mask_b[0], jnp.uint8(255), jnp.uint8(0))
+        img_breast_only = img_equ & breast_only_mask
+        return PectoralResult(img_breast_only, img_equ, boundary,
+                              breast_only_mask)
+
     pect_mask_init = select_largest_obj(img_bin, maxval, fill_holes_=True,
                                         smooth_boundary=False)
     pect_eroded = erode(pect_mask_init, morph_kn_size, n_morph_op)

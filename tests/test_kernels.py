@@ -102,6 +102,45 @@ def test_fused_largest_obj_matches_composition(masks, rng):
                                           interpret=INTERPRET))[0])
 
 
+def test_fused_pectoral_tail_matches_composition(rng):
+    """The fused pectoral-tail kernel (largest-obj + marker bands +
+    watershed + boundary opening) == the composed XLA path."""
+    import os
+
+    from cadx_tpu.kernels.pectoral import pectoral_tail_pallas
+    from cadx_tpu.ops.histogram import equalize_hist
+    from cadx_tpu.ops.threshold import binary_threshold, relative_threshold_value
+    from cadx_tpu.preprocess import cleaner
+
+    hw = 128
+    img = np.zeros((hw, hw), np.uint8)
+    yy, xx = np.mgrid[0:hw, 0:hw]
+    breast = ((xx - hw + 1) ** 2 + (yy - hw // 2) ** 2) < (hw // 2) ** 2
+    tissue = (110 + rng.normal(0, 25, (hw, hw))).clip(40, 185).astype(np.uint8)
+    img[breast] = tissue[breast]
+    wedge = ((hw - 1 - xx) + yy) < hw // 3
+    img[wedge] = np.maximum(img[wedge], 235)
+
+    raw8 = jnp.asarray(img)
+    s_img, bm = cleaner.suppress_artifacts(raw8, 0.05, 15)
+    bo8 = cleaner.segment_breast_mask(s_img, 0.05)[0].astype(jnp.uint8)
+
+    os.environ["CADX_DISABLE_PALLAS"] = "1"
+    try:
+        res = cleaner.remove_pectoral(bo8, bm, 0.8, 3, 7, 25)
+    finally:
+        del os.environ["CADX_DISABLE_PALLAS"]
+
+    img_equ = equalize_hist(bo8)
+    img_bin = binary_threshold(img_equ, relative_threshold_value(bo8, 0.8), 255)
+    labels, boundary, mask_b = pectoral_tail_pallas(
+        img_equ[None], img_bin[None], bm[None], 3, 7, 25, interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(res.boundary), np.asarray(boundary[0]))
+    np.testing.assert_array_equal(
+        np.asarray(res.breast_only_mask),
+        np.where(np.asarray(mask_b[0]), 255, 0).astype(np.uint8))
+
+
 def test_watershed_kernel_matches_xla(rng):
     h = w = 128
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
