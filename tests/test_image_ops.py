@@ -84,6 +84,36 @@ def test_resize_linear_matches_cv2(rng):
     np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 
+def test_resize_linear_mxu_parity(rng):
+    """The MXU matmul resize ships in the fused pipeline's CAM upsample
+    (pipeline/fused.py) and feature resize — pin it against the gather
+    form and cv2 across odd/even sizes, upscale and downscale."""
+    cases = [
+        ((32, 32), (256, 256)),   # CAM upsample (production shape family)
+        ((37, 41), (64, 64)),     # odd input dims
+        ((64, 64), (17, 23)),     # odd output dims, downscale
+        ((16, 16), (33, 31)),     # odd upscale factors
+        ((128, 128), (32, 32)),   # feature downscale
+        ((5, 7), (5, 7)),         # identity-ish small odd
+    ]
+    for in_hw, out_hw in cases:
+        img = rng.standard_normal(in_hw).astype(np.float32)
+        got = np.asarray(resize.resize_linear_mxu(jnp.asarray(img), out_hw))
+        want = np.asarray(resize.resize_linear(jnp.asarray(img), out_hw))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"{in_hw}->{out_hw} vs gather form")
+        ref = cv2.resize(img, (out_hw[1], out_hw[0]),
+                         interpolation=cv2.INTER_LINEAR)
+        np.testing.assert_allclose(got, ref, atol=1e-4,
+                                   err_msg=f"{in_hw}->{out_hw} vs cv2")
+    # batched form (the pipeline passes (B, H, W) and (B, C, H, W))
+    imgs = rng.standard_normal((3, 32, 32)).astype(np.float32)
+    got = np.asarray(resize.resize_linear_mxu(jnp.asarray(imgs), (64, 64)))
+    for i in range(3):
+        one = np.asarray(resize.resize_linear_mxu(jnp.asarray(imgs[i]), (64, 64)))
+        np.testing.assert_array_equal(got[i], one)
+
+
 def test_resize_area_integer_factor_matches_cv2(rng):
     img = rng.standard_normal((64, 64)).astype(np.float32)
     ref = cv2.resize(img, (16, 16), interpolation=cv2.INTER_AREA)

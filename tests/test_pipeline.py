@@ -72,6 +72,10 @@ def test_pipeline_stages_consistent_with_components(rng):
     np.testing.assert_allclose(np.asarray(out.probs), np.asarray(probs), atol=1e-6)
     np.testing.assert_allclose(np.asarray(out.features), np.asarray(feats_small),
                                atol=1e-6)
+    # and the MXU form tracks the gather form to float tolerance
+    mxu = fused._resize_feats_mxu(feats, (16, 16))
+    np.testing.assert_allclose(np.asarray(mxu), np.asarray(feats_small),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_pipeline_checksum_runs(rng):
