@@ -157,11 +157,8 @@ def _reverse_cummin_raster(x, fill):
     return x
 
 
-def largest_mask_from_labels(labels, mask):
-    """In-kernel argmax-area selection: (h, w) i32 CCL labels + bool mask
-    -> bool mask of the largest component (bitonic sort + run-length,
-    smallest-label tie-break — bit-identical to ops._mode_label). Shared
-    by the standalone mode kernel and the fused largest-object kernel."""
+def _sort_best_label(labels, mask):
+    """Exact argmax-area label via full bitonic sort + run-length."""
     h, w = labels.shape
     n = h * w
 
@@ -179,8 +176,53 @@ def largest_mask_from_labels(labels, mask):
 
     # argmax run length; ties -> smallest label (first max in sorted order)
     rmax = jnp.max(runlen)
-    best = jnp.min(jnp.where((runlen == rmax) & (runlen > 0), s, _SENTINEL))
+    return jnp.min(jnp.where((runlen == rmax) & (runlen > 0), s, _SENTINEL))
 
+
+def _majority_candidate(labels, mask):
+    """Best-guess largest-component label from a 4x4 probe grid: each
+    probe's label, scored by how many probes share it (only masked
+    probes vote). Pure heuristic — the caller VERIFIES the candidate's
+    area before trusting it."""
+    h, w = labels.shape
+    r = _row_iota(labels.shape)
+    c = _col_iota(labels.shape)
+    probes = []
+    for i in range(1, 5):
+        for j in range(1, 5):
+            pos = (r == (i * h) // 5) & (c == (j * w) // 5)
+            lab = jnp.sum(jnp.where(pos & mask, labels, 0))
+            ok = jnp.any(pos & mask)
+            probes.append((lab, ok))
+    best_lab = jnp.int32(0)
+    best_votes = jnp.int32(-1)
+    for lab, ok in probes:
+        votes = sum(jnp.where(ok2 & ok & (lab2 == lab), 1, 0)
+                    for lab2, ok2 in probes)
+        votes = jnp.where(ok, votes, -1)
+        take = votes > best_votes
+        best_lab = jnp.where(take, lab, best_lab)
+        best_votes = jnp.where(take, votes, best_votes)
+    return best_lab
+
+
+def largest_mask_from_labels(labels, mask):
+    """In-kernel argmax-area selection: (h, w) i32 CCL labels + bool mask
+    -> bool mask of the largest component, bit-identical to
+    ops._mode_label (smallest-label tie-break). Shared by the standalone
+    mode kernel and the fused largest-object/cleaner kernels.
+
+    Fast path: a probed candidate whose measured area exceeds HALF the
+    mask is provably the unique argmax (no other component can reach
+    it), so the 136-stage bitonic sort is skipped — in mammograms the
+    breast/pectoral blob always wins this check. Otherwise the exact
+    sort runs; either way the selected label is exact."""
+    cand = _majority_candidate(labels, mask)
+    area = jnp.sum(jnp.where(mask & (labels == cand), 1, 0))
+    total = jnp.sum(jnp.where(mask, 1, 0))
+    best = lax.cond(area * 2 > total,
+                    lambda: cand,
+                    lambda: _sort_best_label(labels, mask))
     return mask & (labels == best)
 
 

@@ -102,6 +102,70 @@ def test_fused_largest_obj_matches_composition(masks, rng):
                                           interpret=INTERPRET))[0])
 
 
+def test_fused_cleaner_front_matches_composition(rng):
+    """The fused suppress+segment front kernel == composing
+    suppress_artifacts + segment_breast_mask (XLA path), bit-identical,
+    on a synthetic mammogram and on adversarial masks."""
+    import os
+
+    from cadx_tpu.kernels.cleaner_front import cleaner_front_pallas
+    from cadx_tpu.preprocess import cleaner
+
+    hw = 128
+    yy, xx = np.mgrid[0:hw, 0:hw]
+    img = np.zeros((hw, hw), np.uint8)
+    breast = ((xx - hw + 1) ** 2 + (yy - hw // 2) ** 2) < (hw // 2) ** 2
+    tissue = (110 + rng.normal(0, 25, (hw, hw))).clip(40, 185).astype(np.uint8)
+    img[breast] = tissue[breast]
+    img[10:16, 4:10] = 255  # isolated artifact to suppress
+    noise = (rng.random((hw, hw)) * 255).astype(np.uint8)  # pathological
+    dark = np.zeros((hw, hw), np.uint8)                    # empty masks
+    for case in (img, noise, dark):
+        raw8 = jnp.asarray(case)
+        os.environ["CADX_DISABLE_PALLAS"] = "1"
+        try:
+            s_img, bm = cleaner.suppress_artifacts(raw8, 0.05, 15)
+            bo, rect = cleaner.segment_breast_mask(s_img, 0.05)
+        finally:
+            del os.environ["CADX_DISABLE_PALLAS"]
+        breast_only, mask1, contour = cleaner_front_pallas(
+            raw8[None], interpret=INTERPRET)
+        np.testing.assert_array_equal(np.asarray(bo).astype(np.int32),
+                                      np.asarray(breast_only[0]))
+        np.testing.assert_array_equal(np.asarray(bm) > 0, np.asarray(mask1[0]))
+        # contour mask reproduces the same bounding rect
+        ref_rect = tuple(int(v) for v in rect)
+        got_rect = tuple(int(v) for v in cleaner._bounding_rect(contour[0]))
+        assert ref_rect == got_rect
+
+
+def test_clean_boundary_gray_fused_path_matches_composed(rng):
+    """clean_boundary_gray's fused-front dispatch == the composed-stage
+    path (the full-chain contract the serving engine and fused pipeline
+    ride)."""
+    import os
+
+    from cadx_tpu.preprocess import cleaner
+
+    hw = 128
+    yy, xx = np.mgrid[0:hw, 0:hw]
+    img = np.zeros((hw, hw), np.uint8)
+    breast = ((xx - hw + 1) ** 2 + (yy - hw // 2) ** 2) < (hw // 2) ** 2
+    tissue = (110 + rng.normal(0, 25, (hw, hw))).clip(40, 185).astype(np.uint8)
+    img[breast] = tissue[breast]
+    wedge = ((hw - 1 - xx) + yy) < hw // 3
+    img[wedge] = np.maximum(img[wedge], 235)
+
+    raw = jnp.asarray(img)
+    fused_out = np.asarray(cleaner.clean_boundary_gray(raw))
+    os.environ["CADX_DISABLE_PALLAS"] = "1"
+    try:
+        ref_out = np.asarray(cleaner.clean_boundary_gray(raw))
+    finally:
+        del os.environ["CADX_DISABLE_PALLAS"]
+    np.testing.assert_array_equal(ref_out, fused_out)
+
+
 def test_fused_pectoral_tail_matches_composition(rng):
     """The fused pectoral-tail kernel (largest-obj + marker bands +
     watershed + boundary opening) == the composed XLA path."""
