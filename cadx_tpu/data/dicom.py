@@ -1,11 +1,21 @@
 """Self-contained DICOM reader (pydicom is not available in this image).
 
 Covers what the reference pipeline needs from pydicom (Classes/
-Preprocessing.py:149-156, Classes/load.py): reading uncompressed
-little-endian DICOM files, extracting the pixel array and PatientID.
-Supports explicit and implicit VR, OB/OW pixel data, 8/16-bit
-monochrome, and the common meta group. Compressed transfer syntaxes
-raise a clear error.
+Preprocessing.py:149-156, Classes/load.py): reading DICOM files,
+extracting the pixel array and PatientID. Supports explicit and
+implicit VR, OB/OW pixel data, 8/16-bit monochrome, the common meta
+group, and — since the reference's actual CBIS-DDSM/TCIA dataset ships
+compressed (README.md:99-104) — the encapsulated transfer syntaxes that
+matter for mammography:
+
+- RLE Lossless (1.2.840.10008.1.2.5)
+- JPEG Lossless Non-Hierarchical Process 14 (1.2.840.10008.1.2.4.57)
+- JPEG Lossless Process 14, First-Order Prediction SV1
+  (1.2.840.10008.1.2.4.70) — the syntax TCIA mammograms use
+
+decoded by cadx_tpu.data.codecs (pure-Python reference codecs) with a
+C++ fast path in native/cadx_io.cc when the toolchain is available.
+Other compressed syntaxes still raise a clear error.
 """
 
 from __future__ import annotations
@@ -18,11 +28,16 @@ import numpy as np
 
 _EXPLICIT_LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN"}
 
-# transfer syntax UIDs we can decode (uncompressed)
-_SUPPORTED_TS = {
-    "1.2.840.10008.1.2",       # implicit VR little endian
-    "1.2.840.10008.1.2.1",     # explicit VR little endian
-}
+# transfer syntax UIDs we can decode
+TS_IMPLICIT_LE = "1.2.840.10008.1.2"
+TS_EXPLICIT_LE = "1.2.840.10008.1.2.1"
+TS_RLE = "1.2.840.10008.1.2.5"
+TS_JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
+TS_JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
+
+_UNCOMPRESSED_TS = {TS_IMPLICIT_LE, TS_EXPLICIT_LE}
+_ENCAPSULATED_TS = {TS_RLE, TS_JPEG_LOSSLESS_P14, TS_JPEG_LOSSLESS_SV1}
+_SUPPORTED_TS = _UNCOMPRESSED_TS | _ENCAPSULATED_TS
 
 TAG_TRANSFER_SYNTAX = (0x0002, 0x0010)
 TAG_PATIENT_ID = (0x0010, 0x0020)
@@ -84,6 +99,10 @@ class DicomFile:
         samples = max(self.get_int(TAG_SAMPLES_PER_PIXEL, 1), 1)
         if rows <= 0 or cols <= 0:
             raise DicomError("missing Rows/Columns")
+        if self.transfer_syntax in _ENCAPSULATED_TS:
+            if samples != 1:
+                raise DicomError("compressed multi-sample data unsupported")
+            return self._decode_compressed(raw, rows, cols, bits, signed)
         if bits == 8:
             dtype = np.int8 if signed else np.uint8
         elif bits == 16:
@@ -98,10 +117,58 @@ class DicomFile:
             return arr.reshape(rows, cols, samples)
         return arr.reshape(rows, cols)
 
+    def _decode_compressed(self, raw: bytes, rows: int, cols: int,
+                           bits: int, signed: bool) -> np.ndarray:
+        from cadx_tpu.data import codecs
+
+        frags = codecs.parse_fragments(raw)
+        if not frags:
+            raise DicomError("encapsulated PixelData has no fragments")
+        frame = b"".join(frags)  # single-frame: fragments concatenate
+        if self.transfer_syntax == TS_RLE:
+            arr = codecs.rle_decode(frame, rows, cols, bits)
+        else:
+            arr = _jpeg_lossless_pixels(frame, rows, cols)
+        if bits == 8:
+            return arr.astype(np.int8 if signed else np.uint8)
+        return arr.astype(np.int16 if signed else np.uint16)
+
+
+def _scan_undefined(buf: memoryview, off: int) -> int:
+    """Walk item tags from `off` to just past the (FFFE,E0DD) sequence
+    delimiter. Handles the flat item layout of encapsulated pixel data
+    and defined-length sequence items; undefined-length SQ items (rare
+    in image files) are skipped by delimiter scan."""
+    n = len(buf)
+    while off + 8 <= n:
+        group, elem = struct.unpack_from("<HH", buf, off)
+        length = struct.unpack_from("<I", buf, off + 4)[0]
+        off += 8
+        if (group, elem) == (0xFFFE, 0xE0DD):
+            return off
+        if (group, elem) != (0xFFFE, 0xE000):
+            raise DicomError(
+                f"unexpected tag ({group:04x},{elem:04x}) inside "
+                "undefined-length element")
+        if length == 0xFFFFFFFF:
+            # undefined-length item: scan for its (FFFE,E00D) delimiter
+            while off + 8 <= n:
+                g2, e2 = struct.unpack_from("<HH", buf, off)
+                if (g2, e2) == (0xFFFE, 0xE00D):
+                    off += 8
+                    break
+                off += 2
+            else:
+                break
+        else:
+            off += length
+    raise DicomError("unterminated undefined-length element")
+
 
 def _read_element(buf: memoryview, off: int, explicit: bool):
     group, elem = struct.unpack_from("<HH", buf, off)
     off += 4
+    vr = b""
     if explicit or group == 0x0002:  # file-meta group is always explicit
         vr = bytes(buf[off : off + 2])
         if vr in _EXPLICIT_LONG_VRS:
@@ -114,12 +181,35 @@ def _read_element(buf: memoryview, off: int, explicit: bool):
         length = struct.unpack_from("<I", buf, off)[0]
         off += 4
     if length == 0xFFFFFFFF:
-        raise DicomError(
-            "undefined-length element (encapsulated/compressed pixel data "
-            "is not supported by the built-in reader)"
-        )
+        end = _scan_undefined(buf, off)
+        if (group, elem) == TAG_PIXEL_DATA:
+            # keep the raw item stream; pixel_array parses the fragments
+            return (group, elem), bytes(buf[off:end]), end
+        # undefined-length SQ/UN metadata: skipped (value not needed)
+        return (group, elem), b"", end
     value = bytes(buf[off : off + length])
     return (group, elem), value, off + length
+
+
+def _jpeg_lossless_pixels(frame: bytes, rows: int, cols: int) -> np.ndarray:
+    """Decode a JPEG-lossless frame, preferring the native (C++) decoder
+    when the toolchain is available; falls back to the pure-Python
+    reference codec (bit-identical, slower)."""
+    try:
+        from cadx_tpu.data import native_loader
+
+        arr = native_loader.decode_jpeg_lossless(frame, rows, cols)
+        if arr is not None:
+            return arr
+    except Exception:
+        pass  # toolchain missing or native decode failed: python fallback
+    from cadx_tpu.data import codecs
+
+    arr, _precision = codecs.jpeg_lossless_decode(frame)
+    if arr.shape != (rows, cols):
+        raise DicomError(
+            f"decoded JPEG size {arr.shape} != Rows/Columns {(rows, cols)}")
+    return arr
 
 
 def dcmread(path_or_bytes) -> DicomFile:
@@ -150,7 +240,7 @@ def dcmread(path_or_bytes) -> DicomFile:
         ts = ts.decode("ascii", errors="replace").strip("\x00 ").strip()
     if ts not in _SUPPORTED_TS:
         raise DicomError(f"unsupported transfer syntax {ts!r} (compressed?)")
-    explicit = ts == "1.2.840.10008.1.2.1"
+    explicit = ts != TS_IMPLICIT_LE  # encapsulated syntaxes are explicit VR
 
     while off + 8 <= len(buf):
         tag, value, off = _read_element(buf, off, explicit)
@@ -159,8 +249,14 @@ def dcmread(path_or_bytes) -> DicomFile:
 
 
 def dcmwrite_minimal(path: str, pixel_array: np.ndarray,
-                     patient_id: str = "Unknown") -> None:
-    """Write a minimal valid explicit-VR-LE DICOM (for tests/demos)."""
+                     patient_id: str = "Unknown",
+                     transfer_syntax: str = TS_EXPLICIT_LE) -> None:
+    """Write a minimal valid DICOM (for tests/demos).
+
+    transfer_syntax selects the pixel encoding: explicit-VR-LE raw
+    (default), RLE Lossless, or JPEG Lossless SV1 — the compressed forms
+    use the self-contained encoders in data.codecs, encapsulated per
+    PS3.5 A.4."""
     arr = np.ascontiguousarray(pixel_array)
     if arr.dtype == np.uint8:
         bits = 8
@@ -181,8 +277,7 @@ def dcmwrite_minimal(path: str, pixel_array: np.ndarray,
         return (struct.pack("<HH", group, el) + vr + b"\x00\x00"
                 + struct.pack("<I", len(value)) + value)
 
-    ts = b"1.2.840.10008.1.2.1"
-    meta = elem_short(0x0002, 0x0010, b"UI", ts)
+    meta = elem_short(0x0002, 0x0010, b"UI", transfer_syntax.encode())
     meta = elem_long(0x0002, 0x0001, b"OB", b"\x00\x01") + meta
     body = b""
     body += elem_short(0x0010, 0x0020, b"LO", patient_id.encode())
@@ -191,7 +286,22 @@ def dcmwrite_minimal(path: str, pixel_array: np.ndarray,
     body += elem_short(0x0028, 0x0011, b"US", struct.pack("<H", cols))
     body += elem_short(0x0028, 0x0100, b"US", struct.pack("<H", bits))
     body += elem_short(0x0028, 0x0103, b"US", struct.pack("<H", 0))
-    body += elem_long(0x7FE0, 0x0010, b"OW", arr.tobytes())
+
+    if transfer_syntax == TS_EXPLICIT_LE:
+        body += elem_long(0x7FE0, 0x0010, b"OW", arr.tobytes())
+    elif transfer_syntax in _ENCAPSULATED_TS:
+        from cadx_tpu.data import codecs
+
+        if transfer_syntax == TS_RLE:
+            frame = codecs.rle_encode(arr)
+        else:
+            frame = codecs.jpeg_lossless_encode(arr, precision=bits)
+        encap = codecs.encapsulate([frame])
+        # OB with undefined length + item stream (PS3.5 A.4)
+        body += (struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00"
+                 + struct.pack("<I", 0xFFFFFFFF) + encap)
+    else:
+        raise DicomError(f"writer does not support {transfer_syntax}")
 
     with open(path, "wb") as f:
         f.write(b"\x00" * 128 + b"DICM" + meta + body)

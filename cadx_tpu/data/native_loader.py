@@ -63,6 +63,16 @@ def get_lib() -> ctypes.CDLL:
                 np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
                 ctypes.c_int]
             lib.cadx_dicom_pixels.restype = ctypes.c_int
+            lib.cadx_decode_jpeg_lossless.argtypes = [
+                ctypes.c_char_p, ctypes.c_longlong,
+                np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+                ctypes.c_int, ctypes.c_int]
+            lib.cadx_decode_jpeg_lossless.restype = ctypes.c_int
+            lib.cadx_decode_rle.argtypes = [
+                ctypes.c_char_p, ctypes.c_longlong,
+                np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            lib.cadx_decode_rle.restype = ctypes.c_int
             lib.cadx_loader_create.argtypes = [
                 ctypes.POINTER(ctypes.c_char_p),
                 np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
@@ -103,6 +113,28 @@ def read_dicom_pixels(path: str) -> np.ndarray:
     rc = lib.cadx_dicom_pixels(path.encode(), out, out.size)
     if rc != 0:
         raise ValueError(f"cadx_dicom_pixels({path}) failed rc={rc}")
+    return out
+
+
+def decode_jpeg_lossless(frame: bytes, rows: int, cols: int):
+    """Native JPEG-lossless (SOF3) frame decode -> int32 (rows, cols),
+    or None if the native decoder rejects the stream (caller falls back
+    to the pure-Python codec). Raises NativeUnavailable w/o toolchain."""
+    lib = get_lib()
+    out = np.empty((rows, cols), np.uint16)
+    rc = lib.cadx_decode_jpeg_lossless(frame, len(frame), out, rows, cols)
+    if rc != 0:
+        return None
+    return out.astype(np.int32)
+
+
+def decode_rle(frame: bytes, rows: int, cols: int, bits: int):
+    """Native DICOM RLE frame decode -> uint16 (rows, cols) or None."""
+    lib = get_lib()
+    out = np.empty((rows, cols), np.uint16)
+    rc = lib.cadx_decode_rle(frame, len(frame), out, rows, cols, bits)
+    if rc != 0:
+        return None
     return out
 
 

@@ -42,6 +42,13 @@ uint32_t rd32(const uint8_t* p) {
   return static_cast<uint32_t>(p[0] | (p[1] << 8) | (p[2] << 16) | (p[3] << 24));
 }
 
+// compressed pixel-data codecs (defined below parse_dicom)
+bool rle_decode(const uint8_t* frame, size_t len, int rows, int cols,
+                int bits, std::vector<uint16_t>* out);
+bool jpeg_lossless_decode(const uint8_t* data, size_t n, int expect_rows,
+                          int expect_cols, std::vector<uint16_t>* out);
+bool collect_fragments(const uint8_t* v, size_t len, std::vector<uint8_t>* out);
+
 bool is_long_vr(const char* vr) {
   static const char* kLong[] = {"OB", "OW", "OF", "SQ", "UT", "UN"};
   for (const char* v : kLong)
@@ -61,6 +68,7 @@ DicomImage parse_dicom(const uint8_t* data, size_t n) {
   int rows = 0, cols = 0, bits = 16, pixel_rep = 0, samples = 1;
   const uint8_t* pixel_data = nullptr;
   size_t pixel_len = 0;
+  bool encapsulated = false;
 
   bool in_meta = true;
   while (off + 8 <= n) {
@@ -71,11 +79,14 @@ DicomImage parse_dicom(const uint8_t* data, size_t n) {
     bool exp = explicit_vr || group == 0x0002;
     if (in_meta && group != 0x0002) {
       in_meta = false;
-      explicit_vr = (ts == "1.2.840.10008.1.2.1");
-      if (ts != "1.2.840.10008.1.2" && ts != "1.2.840.10008.1.2.1") {
+      explicit_vr = (ts != "1.2.840.10008.1.2");  // encapsulated = explicit
+      if (ts != "1.2.840.10008.1.2" && ts != "1.2.840.10008.1.2.1" &&
+          ts != "1.2.840.10008.1.2.5" && ts != "1.2.840.10008.1.2.4.57" &&
+          ts != "1.2.840.10008.1.2.4.70") {
         out.error = "unsupported transfer syntax " + ts;
         return out;
       }
+      encapsulated = (ts != "1.2.840.10008.1.2" && ts != "1.2.840.10008.1.2.1");
       exp = explicit_vr;
     }
     if (exp) {
@@ -94,8 +105,27 @@ DicomImage parse_dicom(const uint8_t* data, size_t n) {
       header = 8;
     }
     if (length == 0xFFFFFFFFu) {
-      out.error = "undefined-length element (compressed pixel data?)";
-      return out;
+      // undefined length: item stream until (FFFE,E0DD)
+      size_t p = off + header;
+      bool terminated = false;
+      while (p + 8 <= n) {
+        uint16_t g = rd16(data + p), e = rd16(data + p + 2);
+        uint32_t l = rd32(data + p + 4);
+        p += 8;
+        if (g == 0xFFFE && e == 0xE0DD) { terminated = true; break; }
+        if (g != 0xFFFE || e != 0xE000 || l == 0xFFFFFFFFu || p + l > n) break;
+        p += l;
+      }
+      if (!terminated) {
+        out.error = "unterminated undefined-length element";
+        return out;
+      }
+      if (group == 0x7FE0 && elem == 0x0010) {
+        pixel_data = data + off + header;
+        pixel_len = p - 8 - (off + header);  // item stream sans delimiter
+      }
+      off = p;
+      continue;
     }
     const uint8_t* value = data + off + header;
     if (off + header + length > n) break;
@@ -135,6 +165,27 @@ DicomImage parse_dicom(const uint8_t* data, size_t n) {
     return out;
   }
   size_t count = static_cast<size_t>(rows) * cols;
+  if (encapsulated) {
+    std::vector<uint8_t> frame;
+    if (!collect_fragments(pixel_data, pixel_len, &frame)) {
+      out.error = "bad encapsulated pixel data";
+      return out;
+    }
+    bool ok = (ts == "1.2.840.10008.1.2.5")
+                  ? rle_decode(frame.data(), frame.size(), rows, cols, bits,
+                               &out.pixels)
+                  : jpeg_lossless_decode(frame.data(), frame.size(), rows,
+                                         cols, &out.pixels);
+    if (!ok || out.pixels.size() != count) {
+      out.error = "compressed pixel decode failed";
+      return out;
+    }
+    out.rows = rows;
+    out.cols = cols;
+    out.bits = bits;
+    out.ok = true;
+    return out;
+  }
   out.pixels.resize(count);
   if (bits == 16) {
     if (pixel_len < count * 2) { out.error = "PixelData too short"; return out; }
@@ -151,6 +202,219 @@ DicomImage parse_dicom(const uint8_t* data, size_t n) {
   out.bits = bits;
   out.ok = true;
   return out;
+}
+
+// ---------------------------------------------------------------------------
+// Compressed pixel-data codecs (decode side; the Python layer carries the
+// reference implementations + encoders, cadx_tpu/data/codecs.py)
+// ---------------------------------------------------------------------------
+
+// DICOM RLE Lossless (PS3.5 Annex G): 64-byte offset header + PackBits
+// segments; 16-bit data = MSB plane then LSB plane.
+bool rle_decode(const uint8_t* frame, size_t len, int rows, int cols,
+                int bits, std::vector<uint16_t>* out) {
+  if (len < 64) return false;
+  uint32_t n_segs = rd32(frame);
+  size_t count = static_cast<size_t>(rows) * cols;
+  int want = bits == 16 ? 2 : 1;
+  if (static_cast<int>(n_segs) != want) return false;
+  std::vector<std::vector<uint8_t>> planes;
+  for (uint32_t s = 0; s < n_segs; ++s) {
+    size_t off = rd32(frame + 4 + 4 * s);
+    size_t end = (s + 1 < n_segs) ? rd32(frame + 4 + 4 * (s + 1)) : len;
+    if (off > end || end > len) return false;
+    std::vector<uint8_t> plane;
+    plane.reserve(count);
+    size_t i = off;
+    while (i < end && plane.size() < count) {
+      uint8_t ctrl = frame[i++];
+      if (ctrl < 128) {
+        size_t n = ctrl + 1;
+        if (i + n > end) return false;
+        plane.insert(plane.end(), frame + i, frame + i + n);
+        i += n;
+      } else if (ctrl > 128) {
+        if (i >= end) return false;
+        plane.insert(plane.end(), 257 - ctrl, frame[i++]);
+      }
+    }
+    if (plane.size() < count) return false;
+    plane.resize(count);
+    planes.push_back(std::move(plane));
+  }
+  out->resize(count);
+  if (bits == 16) {
+    for (size_t i = 0; i < count; ++i)
+      (*out)[i] = static_cast<uint16_t>((planes[0][i] << 8) | planes[1][i]);
+  } else {
+    for (size_t i = 0; i < count; ++i) (*out)[i] = planes[0][i];
+  }
+  return true;
+}
+
+// JPEG Lossless (ITU T.81 SOF3), single component, predictors 1-7
+// (DICOM 1.2.840.10008.1.2.4.70 mandates SV1 = predictor 1).
+struct BitReader {
+  const uint8_t* d;
+  size_t n;
+  size_t byte = 0;
+  int bit = 0;  // bits consumed of current byte (MSB first)
+  bool ok = true;
+
+  int read_bit() {
+    // de-stuffing inline: a 0xFF data byte is followed by 0x00
+    if (byte >= n) { ok = false; return 0; }
+    int v = (d[byte] >> (7 - bit)) & 1;
+    if (++bit == 8) {
+      bit = 0;
+      if (d[byte] == 0xFF) {
+        if (byte + 1 < n && d[byte + 1] == 0x00) byte += 2;
+        else { ok = false; byte = n; }  // marker: end of scan
+      } else {
+        byte += 1;
+      }
+    }
+    return v;
+  }
+  int read_bits(int k) {
+    int v = 0;
+    for (int i = 0; i < k; ++i) v = (v << 1) | read_bit();
+    return v;
+  }
+};
+
+bool jpeg_lossless_decode(const uint8_t* data, size_t n, int expect_rows,
+                          int expect_cols, std::vector<uint16_t>* out) {
+  if (n < 4 || data[0] != 0xFF || data[1] != 0xD8) return false;
+  size_t off = 2;
+  int precision = 0, rows = 0, cols = 0, predictor = 1, pt = 0, table_id = 0;
+  // huffman tables: per id, code->symbol maps keyed by (length, code)
+  struct HTab { int maxcode[17]; int mincode[17]; int valptr[17]; uint8_t vals[256]; bool set = false; };
+  HTab tabs[4];
+  size_t scan_off = 0;
+
+  while (off + 4 <= n) {
+    if (data[off] != 0xFF) return false;
+    uint8_t marker = data[off + 1];
+    off += 2;
+    if (marker == 0xD9) break;
+    if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) continue;
+    if (off + 2 > n) return false;
+    size_t seglen = (data[off] << 8) | data[off + 1];
+    if (off + seglen > n) return false;
+    const uint8_t* seg = data + off + 2;
+    size_t sn = seglen - 2;
+    if (marker == 0xC3) {
+      if (sn < 6) return false;
+      precision = seg[0];
+      rows = (seg[1] << 8) | seg[2];
+      cols = (seg[3] << 8) | seg[4];
+      if (seg[5] != 1) return false;  // single component only
+    } else if (marker == 0xC4) {
+      size_t p = 0;
+      while (p + 17 <= sn) {
+        int id = seg[p] & 0x0F;
+        int counts[17] = {0};
+        int total = 0;
+        for (int l = 1; l <= 16; ++l) { counts[l] = seg[p + l]; total += counts[l]; }
+        if (p + 17 + total > sn || total > 256) return false;
+        HTab& t = tabs[id & 3];
+        int code = 0, k = 0;
+        for (int l = 1; l <= 16; ++l) {
+          t.valptr[l] = k;
+          t.mincode[l] = code;
+          code += counts[l];
+          t.maxcode[l] = code - 1;     // -1 if none at this length
+          if (!counts[l]) t.maxcode[l] = -1;
+          code <<= 1;
+          for (int c = 0; c < counts[l]; ++c, ++k) t.vals[k] = seg[p + 17 + k];
+        }
+        t.set = true;
+        p += 17 + total;
+      }
+    } else if (marker == 0xDA) {
+      if (sn < 6 || seg[0] != 1) return false;
+      table_id = (seg[2] >> 4) & 3;
+      predictor = seg[3];
+      pt = seg[5] & 0x0F;
+      scan_off = off + seglen;
+      break;
+    } else if (marker >= 0xC0 && marker <= 0xCF && marker != 0xC4 &&
+               marker != 0xC8 && marker != 0xCC) {
+      return false;  // a non-lossless SOF
+    }
+    off += seglen;
+  }
+  if (!scan_off || !rows || !cols || !tabs[table_id].set) return false;
+  if (predictor < 1 || predictor > 7) return false;
+  if (expect_rows && (rows != expect_rows || cols != expect_cols)) return false;
+
+  HTab& t = tabs[table_id];
+  BitReader br{data + scan_off, n - scan_off};
+  size_t count = static_cast<size_t>(rows) * cols;
+  std::vector<int32_t> diffs(count);
+  for (size_t i = 0; i < count; ++i) {
+    int code = br.read_bit();
+    int l = 1;
+    while (l <= 16 && (t.maxcode[l] < 0 || code > t.maxcode[l])) {
+      code = (code << 1) | br.read_bit();
+      ++l;
+    }
+    if (l > 16 || !br.ok) return false;
+    int sym = t.vals[t.valptr[l] + (code - t.mincode[l])];
+    if (sym == 0) diffs[i] = 0;
+    else if (sym == 16) diffs[i] = 32768;
+    else {
+      int v = br.read_bits(sym);
+      if (v < (1 << (sym - 1))) v -= (1 << sym) - 1;
+      diffs[i] = v;
+    }
+    if (!br.ok && i + 1 < count) return false;
+  }
+
+  out->resize(count);
+  int def = 1 << (precision - 1 - pt);
+  auto px_at = [&](size_t idx) { return static_cast<int32_t>((*out)[idx]); };
+  for (int y = 0; y < rows; ++y) {
+    for (int x = 0; x < cols; ++x) {
+      size_t i = static_cast<size_t>(y) * cols + x;
+      int32_t px;
+      if (y == 0 && x == 0) px = def;
+      else if (x == 0) px = px_at(i - cols);
+      else if (y == 0) px = px_at(i - 1);
+      else switch (predictor) {
+        case 1: px = px_at(i - 1); break;
+        case 2: px = px_at(i - cols); break;
+        case 3: px = px_at(i - cols - 1); break;
+        case 4: px = px_at(i - 1) + px_at(i - cols) - px_at(i - cols - 1); break;
+        case 5: px = px_at(i - 1) + ((px_at(i - cols) - px_at(i - cols - 1)) >> 1); break;
+        case 6: px = px_at(i - cols) + ((px_at(i - 1) - px_at(i - cols - 1)) >> 1); break;
+        default: px = (px_at(i - 1) + px_at(i - cols)) >> 1; break;
+      }
+      (*out)[i] = static_cast<uint16_t>((px + diffs[i]) & 0xFFFF);
+    }
+  }
+  if (pt) for (auto& v : *out) v = static_cast<uint16_t>(v << pt);
+  return true;
+}
+
+// Encapsulated pixel data (PS3.5 A.4): concatenate fragment items after
+// the Basic Offset Table.
+bool collect_fragments(const uint8_t* v, size_t len, std::vector<uint8_t>* out) {
+  size_t off = 0;
+  bool first = true;
+  while (off + 8 <= len) {
+    uint16_t g = rd16(v + off), e = rd16(v + off + 2);
+    uint32_t l = rd32(v + off + 4);
+    off += 8;
+    if (g != 0xFFFE) return false;
+    if (e == 0xE0DD) break;
+    if (e != 0xE000 || off + l > len) return false;
+    if (first) first = false;  // BOT dropped
+    else out->insert(out->end(), v + off, v + off + l);
+    off += l;
+  }
+  return true;
 }
 
 // Area-average resize (integer-binned), matching resize_area semantics
@@ -278,6 +542,28 @@ int cadx_dicom_pixels(const char* path, uint16_t* out, int capacity) {
   if (!img.ok) return 2;
   if (static_cast<int>(img.pixels.size()) > capacity) return 3;
   std::memcpy(out, img.pixels.data(), img.pixels.size() * 2);
+  return 0;
+}
+
+// Decode a raw JPEG-lossless (SOF3) frame into a caller buffer of
+// rows*cols uint16. Returns 0 on success.
+int cadx_decode_jpeg_lossless(const uint8_t* data, long long len,
+                              uint16_t* out_buf, int rows, int cols) {
+  std::vector<uint16_t> px;
+  if (!jpeg_lossless_decode(data, static_cast<size_t>(len), rows, cols, &px))
+    return 1;
+  if (px.size() != static_cast<size_t>(rows) * cols) return 2;
+  std::memcpy(out_buf, px.data(), px.size() * 2);
+  return 0;
+}
+
+// Decode a DICOM RLE frame into rows*cols uint16. Returns 0 on success.
+int cadx_decode_rle(const uint8_t* data, long long len, uint16_t* out_buf,
+                    int rows, int cols, int bits) {
+  std::vector<uint16_t> px;
+  if (!rle_decode(data, static_cast<size_t>(len), rows, cols, bits, &px))
+    return 1;
+  std::memcpy(out_buf, px.data(), px.size() * 2);
   return 0;
 }
 
