@@ -5,17 +5,28 @@ BASELINE.json metric; reference publishes no throughput, so vs_baseline
 is against the 1000 img/s/chip target). Prints ONE JSON line.
 
 Timing methodology (variance-aware since round 2): the tunneled runtime
-shows rare 30-60ms dispatch stalls that polluted single-run averages
+shows rare 30-90ms dispatch stalls that polluted single-run averages
 (round-1 driver captured 1253 img/s vs 1600 steady-state). The
 throughput measurement therefore runs R independent passes of N
-enqueued iterations each and reports the MEDIAN pass (spread included
-in the JSON); each pass fetches one scalar checksum at the end, forcing
-full execution (plain block_until_ready under-reports on this runtime).
+enqueued iterations each and reports the MEDIAN pass; since round 3
+EVERY pass is logged (`all_pass_ms`) so outliers are visible, and
+single-image latency is sampled 50x for p50/p95/p99.
 
-Utilization: the JSON also carries est_mfu / est_membw_util — analytic
-FLOP and HBM-byte counts for the pipeline's dominant ops divided by the
-measured time against v5e peak (197 TFLOP/s bf16 / 394 GB/s HBM BW;
-f32 MXU peak ~49 TFLOP/s) — so perf work has a ceiling to aim at.
+Per-stage split (round 3): separate checksummed programs for the clean
+stage and the encode+classify stage, plus the full program; the explain
+cost is the full-minus-others residual. Every standalone measurement
+carries the same per-call dispatch floor, reported as `floor_ms`
+(a trivial program timed identically) — subtract it when comparing
+stages, not when comparing full-pipeline numbers.
+
+A second metric block benchmarks the SERVING resolution: the engine's
+single-image 512x512 path (clean at native res -> 512 INTER_AREA ->
+encoder conv1 -> feature resize -> classify -> CAM), the program behind
+/upload-single + /classify (reference app.py:96-150, :492-606).
+
+Utilization: est_mfu / est_membw_util are analytic FLOP and HBM-byte
+counts for the pipeline's dominant ops divided by the measured time
+against v5e peak (197 TFLOP/s bf16 / 394 GB/s HBM; f32 MXU ~49 TFLOP/s).
 """
 
 import json
@@ -58,9 +69,7 @@ def _estimate_flops_bytes(batch: int, hw: int, config) -> tuple[float, float]:
     """
     b = batch
     h = w = hw
-    # encoder conv1: out (h/2, w/2, 64), kernel 7x7x1
     conv1_flops = b * (h // 2) * (w // 2) * 64 * 7 * 7 * 2
-    # classifier convs at feature_hw
     fh, fw = config.feature_hw
     cin = config.classifier.input_shape[-1]
     conv_flops = 0
@@ -75,30 +84,56 @@ def _estimate_flops_bytes(batch: int, hw: int, config) -> tuple[float, float]:
         dense_flops += b * dense_in * u * 2
         dense_in = u
     dense_flops += b * dense_in * config.classifier.num_classes * 2
-    # grad-cam vjp ~= forward conv cost again, per explained class
     xai_flops = 2 * conv_flops * len(config.classes_to_explain)
     flops = conv1_flops + conv_flops + dense_flops + xai_flops
 
-    plane = b * h * w * 4  # one f32 full-image plane
-    # cleaner loop state (labels+dist+scans ~6 planes traffic per sweep,
-    # ~5 sweeps for CCL/flood/watershed combined stages), display image,
-    # features, overlays (2 classes RGB u8) + heatmaps
+    plane = b * h * w * 4
     bytes_ = (
-        6 * 5 * plane                 # iterative relaxation traffic
-        + 2 * plane                   # clean display in/out
-        + b * (h // 2) * (w // 2) * 64 * 4  # encoder features
-        + len(config.classes_to_explain) * b * h * w * (3 + 1)  # u8 outputs
+        6 * 5 * plane
+        + 2 * plane
+        + b * (h // 2) * (w // 2) * 64 * 4
+        + len(config.classes_to_explain) * b * h * w * (3 + 1)
     )
     return float(flops), float(bytes_)
 
 
+def _median_pass_ms(fn, iters=10, passes=5):
+    """Enqueue `iters` async calls per pass, fetch one scalar at the end
+    (per-iteration host syncs would add the tunnel's ~25ms round trip).
+    Returns (median_ms_per_iter, all_pass_ms sorted chronologically)."""
+    float(fn())  # compile + warmup
+    all_ms = []
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        outs = [fn() for _ in range(iters)]
+        total = float(jnp.stack(outs).sum())
+        assert np.isfinite(total)
+        all_ms.append((time.perf_counter() - t0) / iters * 1000)
+    return float(np.median(all_ms)), all_ms
+
+
+def _latency_ms(fn, n=50):
+    """Per-call wall latency (one host round trip each): p50/p95/p99."""
+    float(fn())
+    lat = []
+    for _ in range(n):
+        t1 = time.perf_counter()
+        float(fn())
+        lat.append((time.perf_counter() - t1) * 1000)
+    lat = np.asarray(lat)
+    return (float(np.percentile(lat, 50)), float(np.percentile(lat, 95)),
+            float(np.percentile(lat, 99)))
+
+
 def main():
-    from cadx_tpu.models import cnn
+    from cadx_tpu.models import cnn, unet
+    from cadx_tpu.ops.resize import resize_linear
     from cadx_tpu.pipeline import fused
+    from cadx_tpu.preprocess import cleaner
 
     hw = 256
-    batch = 96  # sweet spot: 2098 img/s vs 1929 at 128 / 1992 at 32
-              # (HBM working set of the u8 overlay outputs grows with batch)
+    batch = 96  # sweet spot: 96 beats 128 by ~9% (HBM working set of the
+    #             u8 overlay outputs grows with batch)
     config = fused.PipelineConfig(
         image_hw=(hw, hw),
         feature_hw=(32, 32),
@@ -114,49 +149,93 @@ def main():
     host_batch = synthetic_mammograms(batch, hw)
     x = jax.device_put(jnp.asarray(host_batch))
 
-    # compile + warmup
-    float(fused.run_pipeline_checksum(params, x, config))
-
-    # Throughput: R independent passes; each enqueues `iters` iterations
-    # async (device executes back-to-back) and syncs ONCE at the end —
-    # per-iteration host syncs would add the tunnel's ~25ms round-trip
-    # to every batch. Median pass defends against rare dispatch stalls.
-    iters, passes = 10, 5
-    pass_ms = []
-    for _ in range(passes):
-        t0 = time.perf_counter()
-        outs = [fused.run_pipeline_checksum(params, x, config) for _ in range(iters)]
-        total = float(jnp.stack(outs).sum())
-        assert np.isfinite(total)
-        pass_ms.append((time.perf_counter() - t0) / iters * 1000)
-    pass_ms.sort()
-    per_batch_ms = pass_ms[len(pass_ms) // 2]
+    # ---- headline: full fused pipeline -------------------------------
+    per_batch_ms, all_pass_ms = _median_pass_ms(
+        lambda: fused.run_pipeline_checksum(params, x, config))
     imgs_per_sec = batch / (per_batch_ms / 1000)
 
-    # p50 single-batch latency (incl. one host round-trip)
+    # ---- stage split (each carries ~floor_ms of dispatch cost) -------
+    @jax.jit
+    def _floor(x):
+        return (x.astype(jnp.float32) + 1.0).sum()
+
+    @jax.jit
+    def _clean_only(x):
+        return jax.vmap(cleaner.clean_boundary_gray)(x).sum()
+
+    @jax.jit
+    def _encode_classify(x):
+        clean01 = jax.vmap(cleaner.clean_boundary_gray)(x) / 255.0
+        feats = unet.encoder_first_features(params.encoder, clean01[..., None])
+        fs = jax.vmap(lambda f: resize_linear(f, config.feature_hw))(feats)
+        probs = cnn.forward(params.classifier, fs, config.classifier)
+        return probs.sum() + fs.sum() / 1e3
+
+    floor_ms, _ = _median_pass_ms(lambda: _floor(x))
+    clean_ms, _ = _median_pass_ms(lambda: _clean_only(x))
+    enc_cls_ms, _ = _median_pass_ms(lambda: _encode_classify(x))
+    stage = {
+        "floor_ms": round(floor_ms, 2),
+        "clean_ms": round(clean_ms, 2),
+        "encode_classify_ms": round(enc_cls_ms, 2),  # includes clean
+        "explain_residual_ms": round(per_batch_ms - enc_cls_ms, 2),
+    }
+
+    # ---- single-image latency (256 fused path) -----------------------
+    x1 = jax.device_put(jnp.asarray(host_batch[:1]))
+    p50_1, p95_1, p99_1 = _latency_ms(
+        lambda: fused.run_pipeline_checksum(params, x1, config))
+
+    # p50 full-batch latency (incl. one host round trip)
     lat = []
+    float(fused.run_pipeline_checksum(params, x, config))
     for _ in range(5):
         t1 = time.perf_counter()
         float(fused.run_pipeline_checksum(params, x, config))
         lat.append(time.perf_counter() - t1)
-    p50 = float(np.median(lat))
-
-    # p50 single-IMAGE serving latency
-    x1 = jax.device_put(jnp.asarray(host_batch[:1]))
-    float(fused.run_pipeline_checksum(params, x1, config))  # compile
-    lat1 = []
-    for _ in range(5):
-        t1 = time.perf_counter()
-        float(fused.run_pipeline_checksum(params, x1, config))
-        lat1.append(time.perf_counter() - t1)
-    p50_single = float(np.median(lat1))
+    p50_batch = float(np.median(lat)) * 1000
 
     flops, bytes_ = _estimate_flops_bytes(batch, hw, config)
     secs = per_batch_ms / 1000
-    # v5e: ~197 TFLOP/s bf16; classifier matmuls run HIGHEST precision
-    # (f32 accumulate) => ~49 TFLOP/s effective MXU peak; HBM ~394 GB/s
     est_mfu = (flops / secs) / 49e12
     est_membw = (bytes_ / secs) / 394e9
+
+    # ---- serving-resolution block: single image at 512 ---------------
+    from cadx_tpu.ops.components import _use_pallas
+    from cadx_tpu.serve.engine import EngineConfig, InferenceEngine
+    from cadx_tpu.xai.gradcam import gradcam_map
+
+    eng = InferenceEngine(EngineConfig())
+    img512 = jnp.asarray(synthetic_mammograms(1, 512)[0])
+
+    # the real serving program: _segment_jit + feature resize + classify
+    # + predicted-class CAM, composed exactly as /upload-single+/classify
+    # drive it (serve/engine.py:120-236)
+    cfg_b = eng.config.basic_classifier
+    from cadx_tpu.ops.resize import resize_area
+
+    @jax.jit
+    def serve_one(img):
+        gray = cleaner.clean_boundary_gray(img)
+        resized = resize_area(gray, eng.config.segment_hw)
+        feats = unet.encoder_first_features(
+            eng.encoder_params, (resized / 255.0)[None, ..., None])[0]
+        fs = resize_linear(feats, eng.config.feature_resize)
+        probs = cnn.forward(eng.basic_params, fs[None], cfg_b)[0]
+        cls = jnp.argmax(probs)
+        cam = gradcam_map(eng.basic_params, fs, 0, cfg_b)
+        return probs.sum() + cam.sum() + cls
+
+    p50_512, p95_512, p99_512 = _latency_ms(lambda: serve_one(img512), n=30)
+    ms512, _ = _median_pass_ms(lambda: serve_one(img512), iters=10, passes=3)
+    gates_512 = {
+        "largest_obj": _use_pallas(512, 512),
+        "equalize": _use_pallas(512, 512, planes=8),
+        "fused_front_pectoral": _use_pallas(512, 512, planes=16),
+    }
+    assert gates_512["largest_obj"] and gates_512["equalize"], (
+        "Pallas gate must engage for the standalone kernels at 512 "
+        f"(got {gates_512})")
 
     target = 1000.0
     print(json.dumps({
@@ -164,12 +243,22 @@ def main():
         "value": round(imgs_per_sec, 1),
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec / target, 3),
-        "p50_latency_ms_batch": round(p50 * 1000, 2),
-        "p50_latency_ms_single_image": round(p50_single * 1000, 2),
         "batch": batch,
-        "pass_ms_min": round(pass_ms[0], 2),
         "pass_ms_median": round(per_batch_ms, 2),
-        "pass_ms_max": round(pass_ms[-1], 2),
+        "all_pass_ms": [round(v, 2) for v in all_pass_ms],
+        "stage_split": stage,
+        "p50_latency_ms_batch": round(p50_batch, 2),
+        "single_image_ms": {"p50": round(p50_1, 2), "p95": round(p95_1, 2),
+                            "p99": round(p99_1, 2)},
+        "serve_512": {
+            "metric": "single-image 512x512 serving path (clean->512->encoder->classify->CAM)",
+            "p50_ms": round(p50_512, 2),
+            "p95_ms": round(p95_512, 2),
+            "p99_ms": round(p99_512, 2),
+            "pipelined_ms": round(ms512, 2),
+            "img_per_sec_pipelined": round(1000.0 / ms512, 1),
+            "pallas_gates": gates_512,
+        },
         "est_mfu": round(est_mfu, 4),
         "est_membw_util": round(est_membw, 4),
     }))

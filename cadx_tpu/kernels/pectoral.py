@@ -113,6 +113,12 @@ def pectoral_tail_pallas(img_equ: jax.Array, img_bin: jax.Array,
     b, h, w = img_equ.shape
     if (h & (h - 1)) or (w & (w - 1)):
         raise ValueError(f"fused kernel needs power-of-two dims, got {h}x{w}")
+    if morph_k % 2 == 0 and n_morph > 1:
+        # the fused marker-band window anchors at keff//2, which matches
+        # the XLA composed-window anchor ((k//2)*n) only for odd k
+        raise ValueError(
+            f"fused pectoral tail requires odd morph_k for n_morph>1 "
+            f"(got k={morph_k}); use the composed remove_pectoral path")
     lbl_bits = int(np.ceil(np.log2(h * w + 1)))
     spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     labels, boundary, mask = pl.pallas_call(

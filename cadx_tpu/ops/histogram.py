@@ -30,9 +30,12 @@ def equalize_hist(img_u8: jax.Array) -> jax.Array:
     from cadx_tpu.ops.components import _use_pallas
 
     h, w = img_u8.shape
-    # the kernel chunks the flattened image by the largest power of two
-    # dividing H*W — odd sizes would degrade to tiny serial chunks, so
-    # only dispatch when a wide chunk (>=2048 lanes) exists
+    # _use_pallas is deliberately reused as a conservative TPU/size/
+    # escape-hatch gate (its CCL label-bit check is irrelevant here but
+    # only rejects sizes far beyond any serving image); the kernel chunks
+    # the flattened image by the largest power of two dividing H*W — odd
+    # sizes would degrade to tiny serial chunks, so only dispatch when a
+    # wide chunk (>=2048 lanes) exists
     if _use_pallas(h, w, planes=8) and (h * w) % 2048 == 0:
         from cadx_tpu.kernels.equalize import equalize_hist_pallas
 

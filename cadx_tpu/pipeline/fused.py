@@ -101,6 +101,12 @@ def _gradcam_tail(acts, vjp_fn, clean01, class_idx, config: PipelineConfig):
     # MXU matmul resize — jax.image.resize's gather form costs ~3ms/batch
     # here; same sample points, tolerance-contracted path
     cam_big = resize_linear_mxu(cam, config.image_hw)
+    # clip-after-resize is DELIBERATE here: this tail explains the active
+    # classifier (the framework's default CAM semantics), not the
+    # reference's pytorch-grad-cam pipeline — only the gradcam_pth=
+    # reference path (xai/gradcam.py::resnet_gradcam_overlay) applies
+    # pytorch-grad-cam's second post-resize min-max renorm (PARITY.md
+    # documents both divergences)
     heat_u8 = (jnp.clip(cam_big, 0.0, 1.0) * 255).astype(jnp.uint8)
 
     # Perf-gate note: kernels/overlay.py::jet_blend_pallas is a
@@ -124,9 +130,9 @@ def run_pipeline(params: PipelineParams, batch_u8: jax.Array,
     clean01 = jax.vmap(_clean_one)(batch_u8)                  # (B, H, W)
     feats = unet.encoder_first_features(params.encoder, clean01[..., None])
     # perf-gate note: the MXU matmul form (_resize_feats_mxu) measured
-    # NEUTRAL here in-program (29.86 vs 29.65 ms/96-batch pass) — XLA
-    # already fuses this gather well — so the bit-parity gather form
-    # stays per the SURVEY gate policy
+    # slightly WORSE here in-program twice (29.86 vs 29.65 and 25.39 vs
+    # 24.82 ms/96-batch pass) — XLA fuses this gather well — so the
+    # bit-parity gather form stays per the SURVEY gate policy
     feats_small = jax.vmap(lambda f: resize_linear(f, config.feature_hw))(feats)
     probs = cnn.forward(params.classifier, feats_small, config.classifier)
     predicted = jnp.argmax(probs, axis=-1)

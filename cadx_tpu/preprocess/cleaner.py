@@ -167,9 +167,12 @@ def remove_pectoral(img: jax.Array, breast_mask: jax.Array,
 
     h, w = img.shape
     if (_use_pallas(h, w, planes=16) and not (h & (h - 1))
-            and not (w & (w - 1))):
+            and not (w & (w - 1))
+            and (morph_kn_size % 2 == 1 or n_morph_op <= 1)):
         # one fused VMEM program for largest-object + marker bands +
-        # watershed + boundary opening (kernels/pectoral.py) — the
+        # watershed + boundary opening (kernels/pectoral.py; even
+        # morph_kn_size with repeats anchors differently there, so those
+        # configs take the composed path below) — the
         # separate launches' per-image overhead dominates their compute;
         # bit-identical phases
         from cadx_tpu.kernels.pectoral import pectoral_tail_pallas

@@ -65,8 +65,16 @@ def _imread_gray(path: str) -> np.ndarray | None:
         from cadx_tpu.data import dicom
 
         arr = dicom.dcmread(path).pixel_array
-        return (arr.astype(np.float32) / max(float(arr.max()), 1.0) * 255.0
-                ).astype(np.uint8)
+        if arr.dtype in (np.uint8, np.uint16):
+            # preserve the native bit depth, matching the ANYDEPTH
+            # treatment 16-bit PNG/TIFF uploads get above (the cleaner's
+            # relative thresholds handle either depth)
+            return arr
+        # signed pixel data (PixelRepresentation=1): shift to unsigned,
+        # preserving relative intensities
+        a = arr.astype(np.int32)
+        a -= int(a.min())
+        return np.clip(a, 0, 65535).astype(np.uint16)
     except Exception:  # noqa: BLE001 — unreadable upload -> None like cv2
         return None
 

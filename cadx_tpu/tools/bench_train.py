@@ -12,12 +12,21 @@ projected full 60-epoch wall-clock.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+
+def _progress(msg: str) -> None:
+    print(f"[bench_train +{time.time() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.time()
 
 
 def main():
@@ -33,6 +42,7 @@ def main():
         return X, y
 
     results = {}
+    _progress("synthesizing advanced dataset")
 
     # --- advanced config (training_summary_advanced.json:31-35) ---
     cfg_adv = cnn.CNNConfig(
@@ -54,11 +64,13 @@ def main():
     def log(msg):
         epoch_times.append(time.time())
 
+    _progress("starting advanced fit (12 epochs)")
     n_epochs = 12
     step.fit(params, cfg_adv, Xtr, np.eye(2)[ytr], Xte, yte,
              epochs=n_epochs, lr=1e-3, batch_size=32, optimizer="adam",
              device_data=True, device_data_dtype=jnp.bfloat16, log_fn=log)
     measured = time.time() - t0
+    _progress(f"advanced fit done in {measured:.1f}s")
     # compiles trickle in across the first few epochs; steady state is the
     # median of the tail
     diffs = np.diff(epoch_times)
@@ -86,8 +98,9 @@ def main():
     Xte, yte = synth(49, cfg_basic.input_shape)
     params = cnn.init_params(jax.random.key(1), cfg_basic)
     t0 = time.time()
-    step.fit(params, cfg_basic, Xtr, np.eye(2)[ytr], Xte, yte,
-             epochs=20, lr=0.01, batch_size=8, optimizer="sgd")
+    _progress("starting basic 20-epoch fit")
+    fit_res = step.fit(params, cfg_basic, Xtr, np.eye(2)[ytr], Xte, yte,
+                       epochs=20, lr=0.01, batch_size=8, optimizer="sgd")
     basic_secs = time.time() - t0
     ref_basic = 91 * 3600 + 25 * 60 + 30
     results["basic"] = {
@@ -95,6 +108,50 @@ def main():
         "reference_cpu_secs": ref_basic,
         "speedup": round(ref_basic / basic_secs, 1),
     }
+
+    # --- 5-fold cross-validation over the device mesh (BASELINE.json
+    # config #5: "CrossValidator k-fold training, data-parallel over TPU
+    # mesh" — all available chips; one here) ---
+    from jax.sharding import Mesh
+
+    from cadx_tpu.train import crossval
+
+    X = np.concatenate([Xtr, Xte])
+    y = np.concatenate([ytr, yte])
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    _progress("starting 5-fold crossval")
+    t0 = time.time()
+    cv = crossval.cross_validate(cfg_basic, X, y, n_splits=5, epochs=10,
+                                 lr=0.01, batch_size=8, optimizer="sgd",
+                                 mesh=mesh)
+    cv_secs = time.time() - t0
+    _progress(f"crossval done in {cv_secs:.1f}s")
+    results["crossval_5fold"] = {
+        "measured_secs": round(cv_secs, 1),
+        "n_devices": jax.device_count(),
+        "mean_accuracy": round(cv.mean_accuracy, 4),
+        "std_accuracy": round(cv.std_accuracy, 4),
+    }
+
+    # --- summary-schema check: the emitted summary must carry exactly
+    # the reference's training_summary block layout (WebApplication
+    # Prototype/static/trained_model/training_summary_basic.json) ---
+    from cadx_tpu.train import summary as S
+
+    preds = step.predict_classes(fit_res.params, Xte, cfg_basic)
+    summ = S.build_summary(
+        config=cfg_basic, num_samples=245, train_split=196, test_split=49,
+        epochs=20, batch_size=8, learning_rate=0.01, device="tpu",
+        best_val_acc=fit_res.best_val_acc, y_true=yte, y_pred=preds,
+        label_encoder={"BENIGN": 0, "MALIGNANT": 1},
+        train_seconds=basic_secs,
+    )
+    want_top = ["dataset", "model", "training", "evaluation",
+                "label_encoder", "Training Time"]
+    assert list(summ.keys()) == want_top, summ.keys()
+    assert set(summ["evaluation"]) == {
+        "test_accuracy", "confusion_matrix", "classification_report"}
+    results["summary_schema_ok"] = True
 
     print(json.dumps(results))
 

@@ -382,6 +382,60 @@ def test_16bit_png_upload(server):
     assert status == 200
 
 
+def test_16bit_dicom_upload_preserves_depth(server):
+    """16-bit DICOM uploads keep their depth through _imread_gray and
+    upload+classify — the highest-fidelity input format must not get
+    flattened to uint8 while 16-bit PNGs keep theirs (r2 verdict weak
+    spot #4)."""
+    import tempfile
+
+    from cadx_tpu.data import dicom as _dicom
+    from cadx_tpu.serve.app import _imread_gray
+
+    base, srv = server
+    rng = np.random.default_rng(21)
+    img16 = rng.integers(0, 4096, (96, 96), dtype=np.uint16)
+    with tempfile.NamedTemporaryFile(suffix=".dcm", delete=False) as f:
+        _dicom.dcmwrite_minimal(f.name, img16, "P16")
+        path = f.name
+    arr = _imread_gray(path)
+    assert arr.dtype == np.uint16
+    np.testing.assert_array_equal(arr, img16)
+
+    status, headers = _post_multipart(
+        base + "/upload-single", {"modality1": "MG"},
+        {"image1": ("deep.dcm", open(path, "rb").read())})
+    assert status == 302
+    import glob
+    npys = glob.glob(str(srv.app.ws.folder("preprocessed")) + "/*.npy")
+    stored = np.load(sorted(npys)[-1])
+    assert stored.dtype == np.uint16 and stored.max() > 255
+    status, body = _get(base + "/classify?pipeline=basic")
+    assert status == 200
+
+
+def test_compressed_dicom_upload(server):
+    """JPEG-Lossless-SV1 and RLE DICOM uploads (the syntaxes real TCIA
+    mammograms ship) are accepted end-to-end by /upload-single."""
+    import tempfile
+
+    from cadx_tpu.data import dicom as _dicom
+
+    base, srv = server
+    rng = np.random.default_rng(22)
+    img16 = rng.integers(0, 4096, (96, 96), dtype=np.uint16)
+    for ts in (_dicom.TS_JPEG_LOSSLESS_SV1, _dicom.TS_RLE):
+        with tempfile.NamedTemporaryFile(suffix=".dcm", delete=False) as f:
+            _dicom.dcmwrite_minimal(f.name, img16, "PCMP", transfer_syntax=ts)
+            dcm_bytes = open(f.name, "rb").read()
+        status, headers = _post_multipart(
+            base + "/upload-single", {"modality1": "MG"},
+            {"image1": ("compressed.dcm", dcm_bytes)})
+        assert status == 302, ts
+        status, body = _get(base + "/classify?pipeline=basic")
+        assert status == 200, ts
+
+
 def test_review_fixes_regressions(server, tmp_path):
     """Regressions for the security/correctness review findings."""
     base, srv = server
