@@ -126,6 +126,8 @@ def _latency_ms(fn, n=50):
 
 
 def main():
+    import os
+
     from cadx_tpu.models import cnn, unet
     from cadx_tpu.ops.resize import resize_linear
     from cadx_tpu.pipeline import fused
@@ -153,6 +155,16 @@ def main():
     per_batch_ms, all_pass_ms = _median_pass_ms(
         lambda: fused.run_pipeline_checksum(params, x, config))
     imgs_per_sec = batch / (per_batch_ms / 1000)
+
+    # optional device-level trace: CADX_BENCH_TRACE=/path captures a
+    # jax.profiler trace of 3 steady-state passes (view in xprof)
+    trace_dir = os.environ.get("CADX_BENCH_TRACE")
+    if trace_dir:
+        from cadx_tpu.utils.profiling import trace as _trace
+
+        with _trace(trace_dir):
+            for _ in range(3):
+                float(fused.run_pipeline_checksum(params, x, config))
 
     # ---- stage split (each carries ~floor_ms of dispatch cost) -------
     @jax.jit
