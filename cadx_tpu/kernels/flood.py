@@ -42,10 +42,14 @@ def _doubling_cummax(p, axis: int, reverse: bool):
     return p
 
 
-def flood_relax(mask, seed, row_seg, col_seg, *, max_iters: int):
-    """In-kernel 4-connected flood to the fixpoint: i32 (h, w) mask/seed
-    (0/1) + barrier segment ids -> i32 reach. Shared by the standalone
-    flood kernel and the fused largest-object kernel."""
+def flood_relax(mask, seed, row_seg, col_seg, *, max_iters: int,
+                connectivity: int = 4):
+    """In-kernel flood to the fixpoint: i32 (h, w) mask/seed (0/1) +
+    barrier segment ids -> i32 reach. 4-connected by default (cv2
+    floodFill semantics, used for hole filling); connectivity=8 adds a
+    3x3 neighbourhood pass per sweep (matching 8-connected CCL, used by
+    the density-probe largest-component fast path). Shared by the
+    standalone flood kernel and the fused largest-object kernels."""
     h, w = mask.shape
     max_row_seg = np.int32(w + 1)
     max_col_seg = np.int32(h + 1)
@@ -57,7 +61,14 @@ def flood_relax(mask, seed, row_seg, col_seg, *, max_iters: int):
         bit = ((f & 1) | (b & 1)) & mask
         f = _doubling_cummax((col_seg << 1) | bit, 0, False)
         b = _doubling_cummax(((max_col_seg - col_seg) << 1) | bit, 0, True)
-        return ((f & 1) | (b & 1)) & mask
+        bit = ((f & 1) | (b & 1)) & mask
+        if connectivity == 8:
+            nb = _shifted_max(bit, 1, 0, 0)
+            nb = _shifted_max_rev(nb, 1, 0, 0)
+            nb = _shifted_max(nb, 1, 1, 0)
+            nb = _shifted_max_rev(nb, 1, 1, 0)
+            bit = nb & mask
+        return bit
 
     def cond(state):
         _, changed, it = state

@@ -105,6 +105,75 @@ def _opening(mask_bool, k: int):
     return (1 - di) == 1
 
 
+def _axis_window_sum(x, k: int, axis: int):
+    """Sum over the centered k-window along one axis via doubling shifts
+    (out-of-image positions contribute 0)."""
+    lo, hi = k // 2, k - 1 - k // 2
+
+    def grow(m, span: int, ahead: bool):
+        cov = 1
+        while cov < span:
+            s = min(cov, span - cov)
+            sh = (_shift_ahead if ahead else _shift_back)(m, s, axis, 0)
+            m = m + sh
+            cov += s
+        return m
+
+    return grow(x, hi + 1, True) + grow(x, lo + 1, False) - x
+
+
+def _density_seed(mask_bool, k: int = 17):
+    """One-hot seed at the masked pixel with the densest kxk mask
+    neighbourhood (ties -> smallest raster index). A pure heuristic for
+    picking a pixel likely inside the largest component — the caller
+    VERIFIES the flooded component's area before trusting it."""
+    h, w = mask_bool.shape
+    m = mask_bool.astype(jnp.int32)
+    dens = _axis_window_sum(_axis_window_sum(m, k, 0), k, 1)  # <= k*k
+    idx = (lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+           + lax.broadcasted_iota(jnp.int32, (h, w), 1))
+    # pack (density, inverted index) — k=17 keeps density in 9 bits, so
+    # 20 index bits (up to 1024x1024) stay clear of the sign bit
+    score = jnp.where(mask_bool, (dens << 20) | (0xFFFFF - idx), -1)
+    best = jnp.max(score)
+    best_idx = 0xFFFFF - (best & 0xFFFFF)
+    return ((idx == best_idx) & mask_bool).astype(jnp.int32)
+
+
+def largest_component_mask(mask_bool, rs, cs, *, lbl_bits: int,
+                           connectivity: int, max_iters: int):
+    """Largest-component selection WITHOUT labeling on the fast path:
+    flood from a density-probed pixel; if the flooded component holds a
+    strict majority of mask pixels it is provably the unique argmax-area
+    component, so the CCL relaxation + bitonic sort never run. Any other
+    input falls back to the exact CCL + mode path (kernels/ccl.py +
+    kernels/mode.py). Exact either way.
+
+    Perf-gate note (r3): measured a LOSS in the fused pipeline (28.6 vs
+    24.8 ms/96-batch pass with the three kernel call sites switched to
+    this form) — the seeded flood needs about as many VMEM sweeps as the
+    CCL relaxation it replaces (reach and labels propagate at the same
+    segment-hop rate), so skipping CCL buys nothing and the density
+    probe + flood add pure overhead on top of the (already skipped)
+    sort. Kept as a parity-tested alternative
+    (test_kernels.py::test_flood_largest_component_alternative); the
+    production kernels use ccl_relax + largest_mask_from_labels."""
+    m = mask_bool.astype(jnp.int32)
+    seed = _density_seed(mask_bool)
+    comp = flood_relax(m, seed, rs, cs, max_iters=max_iters,
+                       connectivity=connectivity)
+    area = jnp.sum(comp)
+    total = jnp.sum(m)
+
+    def slow():
+        labels = ccl_relax(mask_bool, rs, cs, lbl_bits=lbl_bits,
+                           connectivity=connectivity, max_iters=max_iters)
+        return largest_mask_from_labels(labels, mask_bool).astype(jnp.int32)
+
+    out = lax.cond(area * 2 > total, lambda: comp, slow)
+    return out == 1
+
+
 def _fill_holes(mask_bool, max_iters: int):
     """Border-flood the complement; unreached background = holes."""
     h, w = mask_bool.shape

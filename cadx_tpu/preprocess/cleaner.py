@@ -249,7 +249,17 @@ def clean_boundary_gray(img: jax.Array) -> jax.Array:
     uint8 rescale -> suppress_artifacts(0.05, 15) ->
     segment_breast(crop=False, 0.05) -> remove_pectoral(0.8, 3, 7, 25) ->
     boundary-painted grayscale in [0, 255] float32. Shared by
-    clean_for_unet, the serving engine, and the fused pipeline."""
+    clean_for_unet, the serving engine, and the fused pipeline.
+
+    Perf-gate note (r3): kernels/cleaner_front.py fuses this whole front
+    (suppress+segment) into ONE VMEM program, bit-identical
+    (test_kernels.py::test_fused_cleaner_front_matches_composition), but
+    measured a 1.3ms/96-batch LOSS in-program (26.12 vs 24.78 ms pass):
+    with the mode sort skipped, the two separate largest_obj programs
+    let XLA overlap their glue with neighbouring images' kernels, which
+    the bigger fused program prevents. Kept as a parity-tested
+    alternative per the SURVEY gate policy; the composed path below is
+    the production dispatch."""
     raw8 = to_uint8(img)
     img_suppr, breast_mask = suppress_artifacts(raw8, 0.05, 15)
     img_breast_only, _ = segment_breast_mask(img_suppr, 0.05)

@@ -102,6 +102,52 @@ def test_fused_largest_obj_matches_composition(masks, rng):
                                           interpret=INTERPRET))[0])
 
 
+def test_flood_largest_component_alternative(masks, rng):
+    """The perf-gated-OFF flood-probe largest-component alternative
+    (kernels/largest_obj.py::largest_component_mask) stays bit-identical
+    to the production CCL+mode selection — both on majority masks (fast
+    flood path) and on adversarial ones (sort fallback)."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cadx_tpu.kernels import largest_obj as L
+
+    hw = 128
+    yy, xx = np.mgrid[0:hw, 0:hw]
+    blob = ((yy - 64) ** 2 + (xx - 96) ** 2) < 2500       # clear majority
+    blob[20:26, 10:16] = True                             # small extra
+    tie = np.zeros((hw, hw), bool)
+    tie[10:20, 10:20] = True
+    tie[60:70, 60:70] = True                              # exact tie: slow path
+    cases = [blob, tie, np.asarray(masks[0]), np.zeros((hw, hw), bool)]
+
+    def _alt_kernel(mask_ref, out_ref, *, lbl_bits):
+        m = mask_ref[0] != 0
+        rs, cs = L._segs(m)
+        out = L.largest_component_mask(m, rs, cs, lbl_bits=lbl_bits,
+                                       connectivity=8, max_iters=128)
+        out_ref[0] = out.astype(jnp.int32)
+
+    import numpy as _np
+
+    for m in cases:
+        lbl_bits = int(_np.ceil(_np.log2(hw * hw + 1)))
+        spec = pl.BlockSpec((1, hw, hw), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+        got = pl.pallas_call(
+            functools.partial(_alt_kernel, lbl_bits=lbl_bits),
+            out_shape=jax.ShapeDtypeStruct((1, hw, hw), jnp.int32),
+            grid=(1,), in_specs=[spec], out_specs=spec,
+            interpret=INTERPRET,
+        )(jnp.asarray(m)[None].astype(jnp.int32))
+        mj = jnp.asarray(m)
+        ref = mj & (C._label_core(mj, 8, 128) == C._mode_label(
+            C._label_core(mj, 8, 128), mj))
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got[0]) == 1)
+
+
 def test_fused_cleaner_front_matches_composition(rng):
     """The fused suppress+segment front kernel == composing
     suppress_artifacts + segment_breast_mask (XLA path), bit-identical,
