@@ -121,14 +121,17 @@ class DicomFile:
                            bits: int, signed: bool) -> np.ndarray:
         from cadx_tpu.data import codecs
 
-        frags = codecs.parse_fragments(raw)
-        if not frags:
-            raise DicomError("encapsulated PixelData has no fragments")
-        frame = b"".join(frags)  # single-frame: fragments concatenate
-        if self.transfer_syntax == TS_RLE:
-            arr = codecs.rle_decode(frame, rows, cols, bits)
-        else:
-            arr = _jpeg_lossless_pixels(frame, rows, cols)
+        try:
+            frags = codecs.parse_fragments(raw)
+            if not frags:
+                raise DicomError("encapsulated PixelData has no fragments")
+            frame = b"".join(frags)  # single-frame: fragments concatenate
+            if self.transfer_syntax == TS_RLE:
+                arr = codecs.rle_decode(frame, rows, cols, bits)
+            else:
+                arr = _jpeg_lossless_pixels(frame, rows, cols)
+        except codecs.CodecError as e:
+            raise DicomError(f"compressed pixel decode failed: {e}") from e
         if bits == 8:
             return arr.astype(np.int8 if signed else np.uint8)
         return arr.astype(np.int16 if signed else np.uint16)
