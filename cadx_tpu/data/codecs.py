@@ -363,7 +363,13 @@ def jpeg_lossless_decode(data: bytes) -> tuple[np.ndarray, int]:
             continue                          # parameterless
         seglen = struct.unpack_from(">H", data, off)[0]
         seg = data[off + 2: off + seglen]
-        if marker == 0xC3:                    # SOF3
+        if marker == 0xDD:                    # DRI
+            if struct.unpack_from(">H", seg, 0)[0] != 0:
+                # restart intervals byte-align the stream and reset the
+                # predictor mid-scan; decoding them as a plain scan would
+                # produce silently-wrong pixels — refuse loudly
+                raise CodecError("restart intervals (DRI) unsupported")
+        elif marker == 0xC3:                  # SOF3
             precision, rows, cols, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if ncomp != 1:
                 raise CodecError(f"only 1-component lossless supported, got {ncomp}")

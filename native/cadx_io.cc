@@ -304,7 +304,11 @@ bool jpeg_lossless_decode(const uint8_t* data, size_t n, int expect_rows,
     if (off + seglen > n) return false;
     const uint8_t* seg = data + off + 2;
     size_t sn = seglen - 2;
-    if (marker == 0xC3) {
+    if (marker == 0xDD) {
+      // nonzero restart interval: stream byte-aligns + predictor resets
+      // mid-scan — unsupported, refuse rather than decode garbage
+      if (sn >= 2 && ((seg[0] << 8) | seg[1]) != 0) return false;
+    } else if (marker == 0xC3) {
       if (sn < 6) return false;
       precision = seg[0];
       rows = (seg[1] << 8) | seg[2];

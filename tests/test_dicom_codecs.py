@@ -131,6 +131,29 @@ def test_fragment_framing_roundtrip(rng):
         assert b[: len(a)] == a  # fragments pad to even length
 
 
+def test_restart_intervals_rejected(mammo16):
+    """A DRI marker with a nonzero interval must be refused loudly (the
+    stream byte-aligns + predictor resets mid-scan; decoding it as a
+    plain scan would yield silently-wrong pixels) — in both decoders."""
+    import struct as _struct
+
+    frame = codecs.jpeg_lossless_encode(mammo16)
+    # splice a DRI (interval 4) right after SOI
+    dri = b"\xff\xdd" + _struct.pack(">HH", 4, 4)
+    bad = frame[:2] + dri + frame[2:]
+    with pytest.raises(codecs.CodecError, match="restart"):
+        codecs.jpeg_lossless_decode(bad)
+    from cadx_tpu.data import native_loader
+
+    if native_loader.available():
+        assert native_loader.decode_jpeg_lossless(bad, *mammo16.shape) is None
+    # zero interval is a no-op and stays decodable
+    dri0 = b"\xff\xdd" + _struct.pack(">HH", 4, 0)
+    ok = frame[:2] + dri0 + frame[2:]
+    dec, _ = codecs.jpeg_lossless_decode(ok)
+    np.testing.assert_array_equal(dec.astype(np.uint16), mammo16)
+
+
 def test_truncated_compressed_raises(tmp_path, mammo16):
     p = os.path.join(tmp_path, "t.dcm")
     dicom.dcmwrite_minimal(p, mammo16, transfer_syntax=dicom.TS_JPEG_LOSSLESS_SV1)
