@@ -229,17 +229,28 @@ class _BitWriter:
             if byte == 0xFF:                 # byte stuffing
                 self.buf.append(0x00)
 
-    def flush(self):
+    def pad_to_byte(self):
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # pad with 1s
+
+    def emit_marker(self, byte2: int):
+        """Append a raw FFxx marker (no stuffing) at a byte boundary."""
+        self.pad_to_byte()
+        self.buf += bytes([0xFF, byte2])
+
+    def flush(self):
+        self.pad_to_byte()
         return bytes(self.buf)
 
 
-def jpeg_lossless_encode(arr: np.ndarray, precision: int | None = None) -> bytes:
+def jpeg_lossless_encode(arr: np.ndarray, precision: int | None = None,
+                         restart_interval: int = 0) -> bytes:
     """Encode (rows, cols) unsigned array as JPEG Lossless SV1 (single
     component, point transform 0). Round-trips with jpeg_lossless_decode
-    and with standard DICOM decoders."""
+    and with standard DICOM decoders. restart_interval > 0 emits a DRI
+    marker and RSTn markers every that many samples (predictor resets at
+    each boundary per T.81 H.2.2)."""
     arr = np.asarray(arr)
     if arr.ndim != 2:
         raise CodecError("encoder expects a 2-D grayscale array")
@@ -251,22 +262,28 @@ def jpeg_lossless_encode(arr: np.ndarray, precision: int | None = None) -> bytes
     x = arr.astype(np.int32)
 
     # SV1 differences: left neighbour; row starts use the pixel above;
-    # origin uses 1 << (P-1). Computed vectorized.
+    # origin (and every restart boundary) uses 1 << (P-1). Vectorized.
+    default = 1 << (precision - 1)
     pred = np.empty_like(x)
     pred[:, 1:] = x[:, :-1]
     pred[1:, 0] = x[:-1, 0]
-    pred[0, 0] = 1 << (precision - 1)
-    diff = ((x - pred) & 0xFFFF).astype(np.int32)
+    pred[0, 0] = default
+    flat_pred = pred.ravel().copy()
+    if restart_interval:
+        flat_pred[::restart_interval] = default
+    diff = ((x.ravel() - flat_pred) & 0xFFFF).astype(np.int32)
     diff = np.where(diff >= 32768, diff - 65536, diff)  # mod-2^16 wrap
 
     codes = _build_huffman(_ENC_BITS, _ENC_VALS)
     w = _BitWriter()
-    flat = diff.ravel()
+    flat = diff
     mags = np.abs(flat)
     ssss = np.where(mags == 0, 0,
                     np.floor(np.log2(np.maximum(mags, 1))).astype(np.int64) + 1)
     ssss = ssss.astype(np.int64)
-    for d, s in zip(flat.tolist(), ssss.tolist()):
+    for i, (d, s) in enumerate(zip(flat.tolist(), ssss.tolist())):
+        if restart_interval and i and i % restart_interval == 0:
+            w.emit_marker(0xD0 + ((i // restart_interval - 1) & 7))
         if d == -32768:                       # category 16: no extra bits
             c, ln = codes[16]
             w.write(c, ln)
@@ -286,6 +303,8 @@ def jpeg_lossless_encode(arr: np.ndarray, precision: int | None = None) -> bytes
     # DHT: class 0, id 0
     out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(_ENC_VALS))
     out += bytes([0x00]) + bytes(_ENC_BITS) + bytes(_ENC_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS: 1 component, selector 1 -> table 0; Ss=1 (predictor), Se=0,
     # Ah=0, Al=0 (point transform)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2, 1) + bytes([1, 0x00])
@@ -296,17 +315,30 @@ def jpeg_lossless_encode(arr: np.ndarray, precision: int | None = None) -> bytes
 
 
 class _BitReader:
-    """MSB-first bit reader over de-stuffed scan bytes."""
+    """MSB-first bit reader over the RAW scan bytes, de-stuffing FF00
+    inline (so restart-marker positions and byte alignment survive)."""
 
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0                          # bit position
+        self.byte = 0
+        self.bit = 0
 
     def read_bit(self) -> int:
-        p = self.pos
-        byte = self.data[p >> 3]
-        self.pos = p + 1
-        return (byte >> (7 - (p & 7))) & 1
+        d = self.data
+        if self.byte >= len(d):
+            raise IndexError("scan exhausted")
+        v = (d[self.byte] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            if d[self.byte] == 0xFF:
+                if self.byte + 1 < len(d) and d[self.byte + 1] == 0x00:
+                    self.byte += 2            # stuffed data byte
+                else:
+                    self.byte = len(d)        # marker: end of scan
+            else:
+                self.byte += 1
+        return v
 
     def read_bits(self, n: int) -> int:
         v = 0
@@ -314,25 +346,22 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
-
-def _destuff(scan: bytes) -> bytes:
-    """Remove 0x00 stuffing after 0xFF; stop at any real marker."""
-    out = bytearray()
-    i, n = 0, len(scan)
-    while i < n:
-        b = scan[i]
-        if b == 0xFF:
-            if i + 1 < n and scan[i + 1] == 0x00:
-                out.append(0xFF)
-                i += 2
-                continue
-            if i + 1 < n and 0xD0 <= scan[i + 1] <= 0xD7:  # RST marker
-                i += 2
-                continue
-            break                             # real marker: end of scan
-        out.append(b)
-        i += 1
-    return bytes(out)
+    def skip_restart(self) -> None:
+        """Byte-align (discard pad bits) and consume an RSTn marker."""
+        d = self.data
+        if self.bit:
+            cur = d[self.byte]
+            self.byte += 1
+            self.bit = 0
+            if cur == 0xFF:
+                if self.byte < len(d) and d[self.byte] == 0x00:
+                    self.byte += 1            # stuffed data byte
+                else:
+                    self.byte -= 1            # the FF starts the marker
+        if (self.byte + 1 >= len(d) or d[self.byte] != 0xFF
+                or not 0xD0 <= d[self.byte + 1] <= 0xD7):
+            raise CodecError("expected restart marker")
+        self.byte += 2
 
 
 def jpeg_lossless_decode(data: bytes) -> tuple[np.ndarray, int]:
@@ -349,6 +378,7 @@ def jpeg_lossless_decode(data: bytes) -> tuple[np.ndarray, int]:
     huff_tables: dict[int, dict] = {}
     predictor = 1
     point_transform = 0
+    restart_interval = 0
     scan_data = None
     table_id = 0
 
@@ -364,11 +394,7 @@ def jpeg_lossless_decode(data: bytes) -> tuple[np.ndarray, int]:
         seglen = struct.unpack_from(">H", data, off)[0]
         seg = data[off + 2: off + seglen]
         if marker == 0xDD:                    # DRI
-            if struct.unpack_from(">H", seg, 0)[0] != 0:
-                # restart intervals byte-align the stream and reset the
-                # predictor mid-scan; decoding them as a plain scan would
-                # produce silently-wrong pixels — refuse loudly
-                raise CodecError("restart intervals (DRI) unsupported")
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xC3:                  # SOF3
             precision, rows, cols, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if ncomp != 1:
@@ -405,7 +431,7 @@ def jpeg_lossless_decode(data: bytes) -> tuple[np.ndarray, int]:
 
     # decode-table: (code, len) -> symbol
     dec = {v: k for k, v in huff_tables[table_id].items()}
-    r = _BitReader(_destuff(scan_data))
+    r = _BitReader(scan_data)
 
     n = rows * cols
     diffs = np.empty(n, np.int32)
@@ -413,6 +439,8 @@ def jpeg_lossless_decode(data: bytes) -> tuple[np.ndarray, int]:
     read_bits = r.read_bits
     try:
         for i in range(n):
+            if restart_interval and i and i % restart_interval == 0:
+                r.skip_restart()
             code = 0
             length = 0
             while True:
@@ -438,39 +466,51 @@ def jpeg_lossless_decode(data: bytes) -> tuple[np.ndarray, int]:
     diffs = diffs.reshape(rows, cols)
     default = 1 << (precision - 1 - point_transform)
 
-    if predictor == 1:
+    if predictor == 1 and not restart_interval:
         # SV1 (the DICOM .70 case): vectorized cumulative reconstruction
         out = _sv1_reconstruct(diffs, default)
     else:
-        # reconstruction: row 0 and column starts always predict
-        # SV1-style (T.81 H.1.2.2); interior pixels use the selected
-        # predictor
-        out = np.zeros((rows, cols), np.int32)
-        for y in range(rows):
-            for x in range(cols):
-                if y == 0 and x == 0:
-                    px = default
-                elif x == 0:
-                    px = out[y - 1, 0]
-                elif y == 0:
-                    px = out[0, x - 1]
-                elif predictor == 2:
-                    px = out[y - 1, x]
-                elif predictor == 3:
-                    px = out[y - 1, x - 1]
-                elif predictor == 4:
-                    px = out[y, x - 1] + out[y - 1, x] - out[y - 1, x - 1]
-                elif predictor == 5:
-                    px = out[y, x - 1] + ((out[y - 1, x] - out[y - 1, x - 1]) >> 1)
-                elif predictor == 6:
-                    px = out[y - 1, x] + ((out[y, x - 1] - out[y - 1, x - 1]) >> 1)
-                else:
-                    px = (out[y, x - 1] + out[y - 1, x]) >> 1
-                out[y, x] = (px + diffs[y, x]) & 0xFFFF
+        out = _reconstruct_scalar(diffs, default, predictor,
+                                  restart_interval)
 
     if point_transform:
         out = out << point_transform
     return out, precision
+
+
+def _reconstruct_scalar(diffs: np.ndarray, default: int, predictor: int,
+                        restart_interval: int) -> np.ndarray:
+    """Scalar reconstruction: row 0 and column starts predict SV1-style
+    (T.81 H.1.2.2), interior pixels use the selected predictor, and the
+    prediction resets to `default` at every restart boundary (H.2.2)."""
+    rows, cols = diffs.shape
+    out = np.zeros((rows, cols), np.int32)
+    for y in range(rows):
+        for x in range(cols):
+            i = y * cols + x
+            if (y == 0 and x == 0) or (
+                    restart_interval and i % restart_interval == 0):
+                px = default
+            elif x == 0:
+                px = out[y - 1, 0]
+            elif y == 0:
+                px = out[0, x - 1]
+            elif predictor == 1:
+                px = out[y, x - 1]
+            elif predictor == 2:
+                px = out[y - 1, x]
+            elif predictor == 3:
+                px = out[y - 1, x - 1]
+            elif predictor == 4:
+                px = out[y, x - 1] + out[y - 1, x] - out[y - 1, x - 1]
+            elif predictor == 5:
+                px = out[y, x - 1] + ((out[y - 1, x] - out[y - 1, x - 1]) >> 1)
+            elif predictor == 6:
+                px = out[y - 1, x] + ((out[y, x - 1] - out[y - 1, x - 1]) >> 1)
+            else:
+                px = (out[y, x - 1] + out[y - 1, x]) >> 1
+            out[y, x] = (px + diffs[y, x]) & 0xFFFF
+    return out
 
 
 def _sv1_reconstruct(diffs: np.ndarray, default: int) -> np.ndarray:

@@ -281,6 +281,25 @@ struct BitReader {
     for (int i = 0; i < k; ++i) v = (v << 1) | read_bit();
     return v;
   }
+  // Byte-align (discard pad bits) and consume an RSTn marker
+  // (T.81 restart). Returns false if FFD0..FFD7 does not follow.
+  bool skip_restart() {
+    if (bit != 0) {
+      uint8_t cur = d[byte];
+      byte += 1;
+      bit = 0;
+      if (cur == 0xFF) {
+        if (byte < n && d[byte] == 0x00) byte += 1;  // stuffed data byte
+        else byte -= 1;  // the FF was the marker prefix itself
+      }
+    }
+    if (byte + 1 >= n) { ok = false; return false; }
+    if (d[byte] != 0xFF) return false;
+    uint8_t m = d[byte + 1];
+    if (m < 0xD0 || m > 0xD7) return false;
+    byte += 2;
+    return true;
+  }
 };
 
 bool jpeg_lossless_decode(const uint8_t* data, size_t n, int expect_rows,
@@ -288,6 +307,7 @@ bool jpeg_lossless_decode(const uint8_t* data, size_t n, int expect_rows,
   if (n < 4 || data[0] != 0xFF || data[1] != 0xD8) return false;
   size_t off = 2;
   int precision = 0, rows = 0, cols = 0, predictor = 1, pt = 0, table_id = 0;
+  int restart_interval = 0;  // samples (MCUs) per restart interval
   // huffman tables: per id, code->symbol maps keyed by (length, code)
   struct HTab { int maxcode[17]; int mincode[17]; int valptr[17]; uint8_t vals[256]; bool set = false; };
   HTab tabs[4];
@@ -305,9 +325,8 @@ bool jpeg_lossless_decode(const uint8_t* data, size_t n, int expect_rows,
     const uint8_t* seg = data + off + 2;
     size_t sn = seglen - 2;
     if (marker == 0xDD) {
-      // nonzero restart interval: stream byte-aligns + predictor resets
-      // mid-scan — unsupported, refuse rather than decode garbage
-      if (sn >= 2 && ((seg[0] << 8) | seg[1]) != 0) return false;
+      if (sn < 2) return false;
+      restart_interval = (seg[0] << 8) | seg[1];
     } else if (marker == 0xC3) {
       if (sn < 6) return false;
       precision = seg[0];
@@ -358,6 +377,9 @@ bool jpeg_lossless_decode(const uint8_t* data, size_t n, int expect_rows,
   size_t count = static_cast<size_t>(rows) * cols;
   std::vector<int32_t> diffs(count);
   for (size_t i = 0; i < count; ++i) {
+    if (restart_interval && i && i % static_cast<size_t>(restart_interval) == 0) {
+      if (!br.skip_restart()) return false;  // byte-align + FFD0..D7
+    }
     int code = br.read_bit();
     int l = 1;
     while (l <= 16 && (t.maxcode[l] < 0 || code > t.maxcode[l])) {
@@ -383,7 +405,10 @@ bool jpeg_lossless_decode(const uint8_t* data, size_t n, int expect_rows,
     for (int x = 0; x < cols; ++x) {
       size_t i = static_cast<size_t>(y) * cols + x;
       int32_t px;
-      if (y == 0 && x == 0) px = def;
+      if ((y == 0 && x == 0) ||
+          (restart_interval &&
+           i % static_cast<size_t>(restart_interval) == 0))
+        px = def;  // T.81 H.2.2: prediction resets at restart boundaries
       else if (x == 0) px = px_at(i - cols);
       else if (y == 0) px = px_at(i - 1);
       else switch (predictor) {

@@ -131,23 +131,29 @@ def test_fragment_framing_roundtrip(rng):
         assert b[: len(a)] == a  # fragments pad to even length
 
 
-def test_restart_intervals_rejected(mammo16):
-    """A DRI marker with a nonzero interval must be refused loudly (the
-    stream byte-aligns + predictor resets mid-scan; decoding it as a
-    plain scan would yield silently-wrong pixels) — in both decoders."""
+def test_restart_intervals_roundtrip(mammo16):
+    """Restart intervals (DRI + RSTn markers, emitted by e.g. DCMTK):
+    byte alignment + predictor reset at every boundary, T.81 H.2.2 —
+    round-trips through the Python codec and decodes identically in the
+    native decoder. Intervals chosen to hit row-middle boundaries, the
+    boundary==row-start collision, and interval 1 (reset every sample)."""
+    from cadx_tpu.data import native_loader
+
+    n = mammo16.size
+    for ri in (1, 7, mammo16.shape[1], 64, n + 5):
+        frame = codecs.jpeg_lossless_encode(mammo16, restart_interval=ri)
+        dec, _ = codecs.jpeg_lossless_decode(frame)
+        np.testing.assert_array_equal(dec.astype(np.uint16), mammo16,
+                                      err_msg=f"ri={ri}")
+        if native_loader.available():
+            got = native_loader.decode_jpeg_lossless(frame, *mammo16.shape)
+            assert got is not None, f"native rejected ri={ri}"
+            np.testing.assert_array_equal(got.astype(np.uint16), mammo16,
+                                          err_msg=f"native ri={ri}")
+    # zero interval is a no-op
     import struct as _struct
 
     frame = codecs.jpeg_lossless_encode(mammo16)
-    # splice a DRI (interval 4) right after SOI
-    dri = b"\xff\xdd" + _struct.pack(">HH", 4, 4)
-    bad = frame[:2] + dri + frame[2:]
-    with pytest.raises(codecs.CodecError, match="restart"):
-        codecs.jpeg_lossless_decode(bad)
-    from cadx_tpu.data import native_loader
-
-    if native_loader.available():
-        assert native_loader.decode_jpeg_lossless(bad, *mammo16.shape) is None
-    # zero interval is a no-op and stays decodable
     dri0 = b"\xff\xdd" + _struct.pack(">HH", 4, 0)
     ok = frame[:2] + dri0 + frame[2:]
     dec, _ = codecs.jpeg_lossless_decode(ok)
