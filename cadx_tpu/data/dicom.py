@@ -41,6 +41,7 @@ _SUPPORTED_TS = _UNCOMPRESSED_TS | _ENCAPSULATED_TS
 
 TAG_TRANSFER_SYNTAX = (0x0002, 0x0010)
 TAG_PATIENT_ID = (0x0010, 0x0020)
+TAG_NUMBER_OF_FRAMES = (0x0028, 0x0008)
 TAG_ROWS = (0x0028, 0x0010)
 TAG_COLS = (0x0028, 0x0011)
 TAG_BITS_ALLOCATED = (0x0028, 0x0100)
@@ -83,6 +84,17 @@ class DicomFile:
         except ValueError:
             return default
 
+    def get_is(self, tag, default: int = 0) -> int:
+        """Integer-String (IS) value, e.g. NumberOfFrames: ASCII digits,
+        NOT binary (a 2-byte b"2 " must read as 2, not 0x2032)."""
+        raw = self.elements.get(tag)
+        if raw is None:
+            return default
+        try:
+            return int(raw.decode("ascii").strip("\x00 ") or default)
+        except (UnicodeDecodeError, ValueError):
+            return default
+
     @property
     def PatientID(self) -> str:  # pydicom-style convenience
         return self.get_str(TAG_PATIENT_ID, "Unknown")
@@ -121,6 +133,11 @@ class DicomFile:
                            bits: int, signed: bool) -> np.ndarray:
         from cadx_tpu.data import codecs
 
+        n_frames = self.get_is(TAG_NUMBER_OF_FRAMES, 1)
+        if n_frames > 1:
+            # fragments would silently concatenate across frames
+            raise DicomError(
+                f"multi-frame compressed DICOM unsupported ({n_frames} frames)")
         try:
             frags = codecs.parse_fragments(raw)
             if not frags:

@@ -194,3 +194,29 @@ def test_torch_state_dict_export_roundtrip(tmp_path, rng):
     p1 = cnn.forward(params, x, config)
     p2 = cnn.forward(params2, x, config)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+
+
+def test_trace_summary_tool(tmp_path):
+    """tools/trace_summary parses a Chrome trace into a device-time
+    table (device events only, summed per program, sorted)."""
+    import gzip
+    import json
+
+    from cadx_tpu.tools import trace_summary
+
+    d = {"traceEvents": [
+        {"ph": "M", "pid": 3, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 7, "name": "process_name",
+         "args": {"name": "/host:CPU"}},
+        {"ph": "X", "pid": 3, "name": "progA", "dur": 1000},
+        {"ph": "X", "pid": 3, "name": "progA", "dur": 500},
+        {"ph": "X", "pid": 3, "name": "progB", "dur": 700},
+        {"ph": "X", "pid": 7, "name": "host_only", "dur": 99999},
+    ]}
+    p = tmp_path / "plugins" / "profile" / "run1"
+    p.mkdir(parents=True)
+    with gzip.open(p / "vm.trace.json.gz", "wt") as f:
+        json.dump(d, f)
+    rows = trace_summary.summarize(str(tmp_path))
+    assert rows == [("progA", 1.5, 2), ("progB", 0.7, 1)]
