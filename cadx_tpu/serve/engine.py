@@ -258,6 +258,24 @@ class InferenceEngine:
         return run
 
     # ------------------------------------------------------------------
+    # dynamic micro-batching (production serving — no reference analogue)
+    # ------------------------------------------------------------------
+    def dynamic_batcher(self, pipeline: str = "basic", max_batch: int = 8,
+                        max_wait_ms: float = 4.0):
+        """Cached MicroBatcher per pipeline: concurrent classify requests
+        aggregate into ONE padded statically-shaped program
+        (serve/batcher.py). Results match classify()'s schema."""
+        from cadx_tpu.serve.batcher import MicroBatcher
+
+        if not hasattr(self, "_batchers"):
+            self._batchers = {}
+        key = (pipeline, max_batch)
+        if key not in self._batchers:
+            self._batchers[key] = MicroBatcher(
+                self, pipeline, max_batch=max_batch, max_wait_ms=max_wait_ms)
+        return self._batchers[key]
+
+    # ------------------------------------------------------------------
     # batched bulk classification (fused pipeline — no reference analogue;
     # the reference routes bulk images one at a time through upload_single)
     # ------------------------------------------------------------------
