@@ -429,6 +429,11 @@ def jpeg_lossless_decode(data: bytes) -> tuple[np.ndarray, int]:
     if not 1 <= predictor <= 7:
         raise CodecError(f"bad predictor selection {predictor}")
 
+    if rows * cols > 1 << 28:
+        # corrupt/hostile SOF3 dims would otherwise drive a huge
+        # allocation before the size check against the DICOM header
+        raise CodecError(f"implausible frame size {rows}x{cols}")
+
     # decode-table: (code, len) -> symbol
     dec = {v: k for k, v in huff_tables[table_id].items()}
     r = _BitReader(scan_data)

@@ -147,7 +147,9 @@ class DicomFile:
                 arr = codecs.rle_decode(frame, rows, cols, bits)
             else:
                 arr = _jpeg_lossless_pixels(frame, rows, cols)
-        except codecs.CodecError as e:
+        except (codecs.CodecError, IndexError, struct.error) as e:
+            # malformed streams may fail mid-parse with raw index/struct
+            # errors; surface every decode failure as DicomError
             raise DicomError(f"compressed pixel decode failed: {e}") from e
         if bits == 8:
             return arr.astype(np.int8 if signed else np.uint8)

@@ -177,6 +177,28 @@ def test_restart_intervals_roundtrip(mammo16):
     np.testing.assert_array_equal(dec.astype(np.uint16), mammo16)
 
 
+def test_fuzz_corrupt_compressed_payloads(tmp_path, mammo16):
+    """Corrupted/random encapsulated payloads must either decode or
+    raise DicomError — never any other exception type (the serving
+    upload path relies on that contract)."""
+    base = os.path.join(tmp_path, "f.dcm")
+    dicom.dcmwrite_minimal(base, mammo16,
+                           transfer_syntax=dicom.TS_JPEG_LOSSLESS_SV1)
+    raw = bytearray(open(base, "rb").read())
+    rng = np.random.default_rng(7)
+    pixel_start = len(raw) - (len(raw) - 200)  # mutate anywhere after meta
+    for _ in range(60):
+        bad = bytearray(raw)
+        for _ in range(rng.integers(1, 8)):
+            pos = int(rng.integers(pixel_start, len(bad)))
+            bad[pos] = int(rng.integers(0, 256))
+        try:
+            ds = dicom.dcmread(bytes(bad))
+            _ = ds.pixel_array
+        except dicom.DicomError:
+            pass  # the only permitted failure mode
+
+
 def test_truncated_compressed_raises(tmp_path, mammo16):
     p = os.path.join(tmp_path, "t.dcm")
     dicom.dcmwrite_minimal(p, mammo16, transfer_syntax=dicom.TS_JPEG_LOSSLESS_SV1)
