@@ -113,8 +113,12 @@ def _median_pass_ms(fn, iters=10, passes=5):
 
 
 def _latency_ms(fn, n=50):
-    """Per-call wall latency (one host round trip each): p50/p95/p99."""
-    float(fn())
+    """Per-call wall latency (one host round trip each): p50/p95/p99.
+    Three warmup calls: the first 1-2 dispatches after a fresh compile
+    can hit the tunnel's one-time stall (see all_pass_ms), which would
+    pollute the p99 of a 30-50 sample run."""
+    for _ in range(3):
+        float(fn())
     lat = []
     for _ in range(n):
         t1 = time.perf_counter()
