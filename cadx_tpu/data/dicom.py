@@ -12,6 +12,9 @@ matter for mammography:
 - JPEG Lossless Non-Hierarchical Process 14 (1.2.840.10008.1.2.4.57)
 - JPEG Lossless Process 14, First-Order Prediction SV1
   (1.2.840.10008.1.2.4.70) — the syntax TCIA mammograms use
+- Deflated Explicit VR Little Endian (1.2.840.10008.1.2.1.99)
+- Explicit VR Big Endian (1.2.840.10008.1.2.2, retired but present in
+  old PACS archives)
 
 decoded by cadx_tpu.data.codecs (pure-Python reference codecs) with a
 C++ fast path in native/cadx_io.cc when the toolchain is available.
@@ -23,6 +26,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import struct
+import zlib
 
 import numpy as np
 
@@ -31,11 +35,14 @@ _EXPLICIT_LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN"}
 # transfer syntax UIDs we can decode
 TS_IMPLICIT_LE = "1.2.840.10008.1.2"
 TS_EXPLICIT_LE = "1.2.840.10008.1.2.1"
+TS_DEFLATED_LE = "1.2.840.10008.1.2.1.99"
+TS_EXPLICIT_BE = "1.2.840.10008.1.2.2"  # retired, still in old archives
 TS_RLE = "1.2.840.10008.1.2.5"
 TS_JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
 TS_JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
 
-_UNCOMPRESSED_TS = {TS_IMPLICIT_LE, TS_EXPLICIT_LE}
+_UNCOMPRESSED_TS = {TS_IMPLICIT_LE, TS_EXPLICIT_LE, TS_DEFLATED_LE,
+                    TS_EXPLICIT_BE}
 _ENCAPSULATED_TS = {TS_RLE, TS_JPEG_LOSSLESS_P14, TS_JPEG_LOSSLESS_SV1}
 _SUPPORTED_TS = _UNCOMPRESSED_TS | _ENCAPSULATED_TS
 
@@ -60,6 +67,7 @@ class DicomFile:
 
     elements: dict[tuple[int, int], bytes]
     transfer_syntax: str
+    big_endian: bool = False  # Explicit VR Big Endian dataset encoding
 
     def get(self, tag: tuple[int, int], default=None):
         return self.elements.get(tag, default)
@@ -75,10 +83,11 @@ class DicomFile:
         raw = self.elements.get(tag)
         if raw is None:
             return default
+        bo = ">" if self.big_endian else "<"
         if len(raw) == 2:
-            return struct.unpack("<H", raw)[0]
+            return struct.unpack(bo + "H", raw)[0]
         if len(raw) == 4:
-            return struct.unpack("<I", raw)[0]
+            return struct.unpack(bo + "I", raw)[0]
         try:
             return int(raw.decode("ascii").strip() or default)
         except ValueError:
@@ -115,16 +124,19 @@ class DicomFile:
             if samples != 1:
                 raise DicomError("compressed multi-sample data unsupported")
             return self._decode_compressed(raw, rows, cols, bits, signed)
+        bo = ">" if self.big_endian else "<"
         if bits == 8:
-            dtype = np.int8 if signed else np.uint8
+            dtype = np.dtype("i1" if signed else "u1")
         elif bits == 16:
-            dtype = np.int16 if signed else np.uint16
+            dtype = np.dtype(bo + ("i2" if signed else "u2"))
         else:
             raise DicomError(f"unsupported BitsAllocated={bits}")
         need = rows * cols * samples * (bits // 8)
         if len(raw) < need:
             raise DicomError(f"PixelData too short: {len(raw)} < {need}")
         arr = np.frombuffer(raw[:need], dtype=dtype)
+        if self.big_endian and bits == 16:
+            arr = arr.astype(arr.dtype.newbyteorder("="))  # native order out
         if samples > 1:
             return arr.reshape(rows, cols, samples)
         return arr.reshape(rows, cols)
@@ -156,15 +168,15 @@ class DicomFile:
         return arr.astype(np.int16 if signed else np.uint16)
 
 
-def _scan_undefined(buf: memoryview, off: int) -> int:
+def _scan_undefined(buf: memoryview, off: int, bo: str = "<") -> int:
     """Walk item tags from `off` to just past the (FFFE,E0DD) sequence
     delimiter. Handles the flat item layout of encapsulated pixel data
     and defined-length sequence items; undefined-length SQ items (rare
     in image files) are skipped by delimiter scan."""
     n = len(buf)
     while off + 8 <= n:
-        group, elem = struct.unpack_from("<HH", buf, off)
-        length = struct.unpack_from("<I", buf, off + 4)[0]
+        group, elem = struct.unpack_from(bo + "HH", buf, off)
+        length = struct.unpack_from(bo + "I", buf, off + 4)[0]
         off += 8
         if (group, elem) == (0xFFFE, 0xE0DD):
             return off
@@ -175,7 +187,7 @@ def _scan_undefined(buf: memoryview, off: int) -> int:
         if length == 0xFFFFFFFF:
             # undefined-length item: scan for its (FFFE,E00D) delimiter
             while off + 8 <= n:
-                g2, e2 = struct.unpack_from("<HH", buf, off)
+                g2, e2 = struct.unpack_from(bo + "HH", buf, off)
                 if (g2, e2) == (0xFFFE, 0xE00D):
                     off += 8
                     break
@@ -187,23 +199,23 @@ def _scan_undefined(buf: memoryview, off: int) -> int:
     raise DicomError("unterminated undefined-length element")
 
 
-def _read_element(buf: memoryview, off: int, explicit: bool):
-    group, elem = struct.unpack_from("<HH", buf, off)
+def _read_element(buf: memoryview, off: int, explicit: bool, bo: str = "<"):
+    group, elem = struct.unpack_from(bo + "HH", buf, off)
     off += 4
     vr = b""
     if explicit or group == 0x0002:  # file-meta group is always explicit
         vr = bytes(buf[off : off + 2])
         if vr in _EXPLICIT_LONG_VRS:
-            length = struct.unpack_from("<I", buf, off + 4)[0]
+            length = struct.unpack_from(bo + "I", buf, off + 4)[0]
             off += 8
         else:
-            length = struct.unpack_from("<H", buf, off + 2)[0]
+            length = struct.unpack_from(bo + "H", buf, off + 2)[0]
             off += 4
     else:
-        length = struct.unpack_from("<I", buf, off)[0]
+        length = struct.unpack_from(bo + "I", buf, off)[0]
         off += 4
     if length == 0xFFFFFFFF:
-        end = _scan_undefined(buf, off)
+        end = _scan_undefined(buf, off, bo)
         if (group, elem) == TAG_PIXEL_DATA:
             # keep the raw item stream; pixel_array parses the fragments
             return (group, elem), bytes(buf[off:end]), end
@@ -263,11 +275,26 @@ def dcmread(path_or_bytes) -> DicomFile:
     if ts not in _SUPPORTED_TS:
         raise DicomError(f"unsupported transfer syntax {ts!r} (compressed?)")
     explicit = ts != TS_IMPLICIT_LE  # encapsulated syntaxes are explicit VR
+    big_endian = ts == TS_EXPLICIT_BE
+    bo = ">" if big_endian else "<"
+
+    if ts == TS_DEFLATED_LE:
+        # PS3.5 A.5: everything after the file meta group is one raw
+        # deflate stream (RFC 1951, no zlib header) of an explicit-VR-LE
+        # dataset. pydicom reads these the same way.
+        try:
+            inflated = zlib.decompressobj(-zlib.MAX_WBITS).decompress(
+                bytes(buf[off:]))
+        except zlib.error as e:
+            raise DicomError(f"deflated dataset inflate failed: {e}") from e
+        buf = memoryview(inflated)
+        off = 0
 
     while off + 8 <= len(buf):
-        tag, value, off = _read_element(buf, off, explicit)
+        tag, value, off = _read_element(buf, off, explicit, bo)
         elements[tag] = value
-    return DicomFile(elements=elements, transfer_syntax=ts)
+    return DicomFile(elements=elements, transfer_syntax=ts,
+                     big_endian=big_endian)
 
 
 def dcmwrite_minimal(path: str, pixel_array: np.ndarray,
@@ -276,9 +303,9 @@ def dcmwrite_minimal(path: str, pixel_array: np.ndarray,
     """Write a minimal valid DICOM (for tests/demos).
 
     transfer_syntax selects the pixel encoding: explicit-VR-LE raw
-    (default), RLE Lossless, or JPEG Lossless SV1 — the compressed forms
-    use the self-contained encoders in data.codecs, encapsulated per
-    PS3.5 A.4."""
+    (default), deflated explicit-VR-LE, explicit-VR-BE, RLE Lossless, or
+    JPEG Lossless SV1 — the compressed forms use the self-contained
+    encoders in data.codecs, encapsulated per PS3.5 A.4."""
     arr = np.ascontiguousarray(pixel_array)
     if arr.dtype == np.uint8:
         bits = 8
@@ -287,30 +314,43 @@ def dcmwrite_minimal(path: str, pixel_array: np.ndarray,
     else:
         raise DicomError("writer supports uint8/uint16 only")
     rows, cols = arr.shape[:2]
+    bo = ">" if transfer_syntax == TS_EXPLICIT_BE else "<"
 
-    def elem_short(group, el, vr: bytes, value: bytes) -> bytes:
+    def elem_short(group, el, vr: bytes, value: bytes, order: str = None) -> bytes:
+        order = bo if order is None else order
         if len(value) % 2:
             value += b"\x00" if vr != b"UI" else b"\x00"
-        return struct.pack("<HH", group, el) + vr + struct.pack("<H", len(value)) + value
+        return (struct.pack(order + "HH", group, el) + vr
+                + struct.pack(order + "H", len(value)) + value)
 
-    def elem_long(group, el, vr: bytes, value: bytes) -> bytes:
+    def elem_long(group, el, vr: bytes, value: bytes, order: str = None) -> bytes:
+        order = bo if order is None else order
         if len(value) % 2:
             value += b"\x00"
-        return (struct.pack("<HH", group, el) + vr + b"\x00\x00"
-                + struct.pack("<I", len(value)) + value)
+        return (struct.pack(order + "HH", group, el) + vr + b"\x00\x00"
+                + struct.pack(order + "I", len(value)) + value)
 
-    meta = elem_short(0x0002, 0x0010, b"UI", transfer_syntax.encode())
-    meta = elem_long(0x0002, 0x0001, b"OB", b"\x00\x01") + meta
+    # file meta group is ALWAYS explicit VR little-endian
+    meta = elem_short(0x0002, 0x0010, b"UI", transfer_syntax.encode(), "<")
+    meta = elem_long(0x0002, 0x0001, b"OB", b"\x00\x01", "<") + meta
+    us = lambda v: struct.pack(bo + "H", v)
     body = b""
     body += elem_short(0x0010, 0x0020, b"LO", patient_id.encode())
-    body += elem_short(0x0028, 0x0002, b"US", struct.pack("<H", 1))
-    body += elem_short(0x0028, 0x0010, b"US", struct.pack("<H", rows))
-    body += elem_short(0x0028, 0x0011, b"US", struct.pack("<H", cols))
-    body += elem_short(0x0028, 0x0100, b"US", struct.pack("<H", bits))
-    body += elem_short(0x0028, 0x0103, b"US", struct.pack("<H", 0))
+    body += elem_short(0x0028, 0x0002, b"US", us(1))
+    body += elem_short(0x0028, 0x0010, b"US", us(rows))
+    body += elem_short(0x0028, 0x0011, b"US", us(cols))
+    body += elem_short(0x0028, 0x0100, b"US", us(bits))
+    body += elem_short(0x0028, 0x0103, b"US", us(0))
 
-    if transfer_syntax == TS_EXPLICIT_LE:
+    if transfer_syntax in (TS_EXPLICIT_LE, TS_DEFLATED_LE):
         body += elem_long(0x7FE0, 0x0010, b"OW", arr.tobytes())
+        if transfer_syntax == TS_DEFLATED_LE:
+            # PS3.5 A.5: raw-deflate the whole post-meta dataset
+            co = zlib.compressobj(level=6, wbits=-zlib.MAX_WBITS)
+            body = co.compress(body) + co.flush()
+    elif transfer_syntax == TS_EXPLICIT_BE:
+        pix = arr.astype(arr.dtype.newbyteorder(">")) if bits == 16 else arr
+        body += elem_long(0x7FE0, 0x0010, b"OW", pix.tobytes())
     elif transfer_syntax in _ENCAPSULATED_TS:
         from cadx_tpu.data import codecs
 

@@ -89,6 +89,40 @@ def test_dcmread_same_pixels_across_encodings(tmp_path, mammo16):
         np.testing.assert_array_equal(arr, mammo16, err_msg=ts)
 
 
+def test_dcmread_deflated_and_big_endian(tmp_path, mammo16, rng):
+    """Deflated explicit-LE (PS3.5 A.5) and retired explicit-BE datasets
+    read back bit-identically, with native-byte-order output arrays."""
+    img8 = (rng.random((24, 40)) * 255).astype(np.uint8)
+    for ts in (dicom.TS_DEFLATED_LE, dicom.TS_EXPLICIT_BE):
+        for img in (mammo16, img8):
+            p = os.path.join(tmp_path, "t.dcm")
+            dicom.dcmwrite_minimal(p, img, "P002", transfer_syntax=ts)
+            ds = dicom.dcmread(p)
+            assert ds.transfer_syntax == ts
+            assert ds.PatientID == "P002"
+            out = ds.pixel_array
+            assert out.dtype == img.dtype  # native order, not >u2
+            assert out.dtype.byteorder in ("=", "|")
+            np.testing.assert_array_equal(out, img, err_msg=ts)
+    # deflated files are actually smaller than raw on this compressible image
+    pd = os.path.join(tmp_path, "d.dcm")
+    pr = os.path.join(tmp_path, "r.dcm")
+    dicom.dcmwrite_minimal(pd, mammo16, transfer_syntax=dicom.TS_DEFLATED_LE)
+    dicom.dcmwrite_minimal(pr, mammo16, transfer_syntax=dicom.TS_EXPLICIT_LE)
+    assert os.path.getsize(pd) < os.path.getsize(pr)
+
+
+def test_deflated_corrupt_stream_raises(tmp_path, mammo16):
+    p = os.path.join(tmp_path, "d.dcm")
+    dicom.dcmwrite_minimal(p, mammo16, transfer_syntax=dicom.TS_DEFLATED_LE)
+    blob = bytearray(open(p, "rb").read())
+    blob[-20:] = os.urandom(20)  # corrupt the tail of the deflate stream
+    try:
+        dicom.dcmread(bytes(blob)).pixel_array
+    except dicom.DicomError:
+        pass  # either a clean inflate error or a short-PixelData error
+
+
 def test_dcmread_compressed_8bit(tmp_path, rng):
     img = (rng.random((40, 56)) * 255).astype(np.uint8)
     for ts in (dicom.TS_RLE, dicom.TS_JPEG_LOSSLESS_SV1):
