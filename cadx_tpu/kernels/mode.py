@@ -22,6 +22,16 @@ kernel keeps the plane in VMEM and runs
 
 Results are bit-identical to the XLA path (sorting is exact; tie-break
 matches).
+
+r3: the sort is now the FALLBACK. The production path proves the
+argmax without sorting: exact areas of the K longest-run candidate
+components plus a 16-group label-partition pixel count bound every
+uncounted component strictly below the best candidate
+(largest_mask_from_labels below). On mammogram masks — including the
+pectoral high-threshold mask, whose largest component is only ~28% of
+the mask so the earlier half-total proof never fired — the certificate
+fires 96/96 and the 136-stage sort is skipped (2.6+ ms/96-batch saved);
+adversarial masks still take the exact sort.
 """
 
 from __future__ import annotations
@@ -179,31 +189,91 @@ def _sort_best_label(labels, mask):
     return jnp.min(jnp.where((runlen == rmax) & (runlen > 0), s, _SENTINEL))
 
 
-def _majority_candidate(labels, mask):
-    """Best-guess largest-component label from a 4x4 probe grid: each
-    probe's label, scored by how many probes share it (only masked
-    probes vote). Pure heuristic — the caller VERIFIES the candidate's
-    area before trusting it."""
+_CAND_K = 8     # exact areas computed for the K longest-run candidates
+_N_GROUPS = 16  # label-high-bits partition for the residual certificate
+
+
+def _row_runlen(mask):
+    """Per-pixel length of the pixel's horizontal mask run (0 outside
+    the mask): barrier-count segments via doubling cumsum, then packed
+    segmented cummin/cummax of the column index (the CCL row-scan
+    trick) give each run's start and end columns."""
+    h, w = mask.shape
+    m = mask.astype(jnp.int32)
+    c = _col_iota(m.shape)
+    # seg id = #barriers at-or-left (doubling inclusive cumsum)
+    seg = 1 - m
+    shift = 1
+    while shift < w:
+        rolled = pltpu.roll(seg, shift, 1)
+        seg = seg + jnp.where(c < shift, 0, rolled)
+        shift *= 2
+    col_bits = int(np.ceil(np.log2(w + 1)))
+    big = np.int32(2**30)
+    max_seg = np.int32(w + 1)
+    from cadx_tpu.kernels.ccl import _doubling_cummin
+
+    start = (_doubling_cummin(((max_seg - seg) << col_bits) | c, 1, False, big)
+             & ((1 << col_bits) - 1))
+    rev = (_doubling_cummin((seg << col_bits) | (w - 1 - c), 1, True, big)
+           & ((1 << col_bits) - 1))
+    end = w - 1 - rev
+    return jnp.where(mask, end - start + 1, 0)
+
+
+def _topk_run_best(labels, mask):
+    """(provable, best_label): exact argmax-area label when provable.
+
+    Candidates: the K components with the longest horizontal runs —
+    picked by iterated masked max over the run-length plane (scalar
+    reduces are cheap on this VPU, ~8us/96-batch each; the r3 v1 of
+    this path extracted a (32,32) probe grid and mini-bitonic-sorted
+    it, but small-plane sort stages are issue-bound, not size-bound:
+    the 55-stage minisort alone cost 0.68ms/96-batch, measured). Their
+    areas are computed EXACTLY; best = max area, min-label tie-break.
+
+    Certificate: every component carries ONE label (its min raster
+    index), so `labels >> (lbl_bits-4)` partitions components into 16
+    groups. Count the mask pixels per group, subtract the K counted
+    areas from their groups: any UNcounted component fits inside its
+    group's residual, so `best_area > max(residual)` proves `best` is
+    the unique global argmax (strictness also rules out uncounted
+    ties; counted ties are resolved exactly by min label, matching
+    ops._mode_label). Mammogram high-threshold masks — one ~2000px
+    blob + ~1500 speckle components spread over all label groups —
+    certify with >1000px margin (measured); adversarial masks fall
+    back to the exact sort. Candidate CHOICE never affects soundness:
+    bad candidates only weaken the bound."""
     h, w = labels.shape
-    r = _row_iota(labels.shape)
-    c = _col_iota(labels.shape)
-    probes = []
-    for i in range(1, 5):
-        for j in range(1, 5):
-            pos = (r == (i * h) // 5) & (c == (j * w) // 5)
-            lab = jnp.sum(jnp.where(pos & mask, labels, 0))
-            ok = jnp.any(pos & mask)
-            probes.append((lab, ok))
-    best_lab = jnp.int32(0)
-    best_votes = jnp.int32(-1)
-    for lab, ok in probes:
-        votes = sum(jnp.where(ok2 & ok & (lab2 == lab), 1, 0)
-                    for lab2, ok2 in probes)
-        votes = jnp.where(ok, votes, -1)
-        take = votes > best_votes
-        best_lab = jnp.where(take, lab, best_lab)
-        best_votes = jnp.where(take, votes, best_votes)
-    return best_lab
+    lbl_bits = int(np.ceil(np.log2(h * w + 1)))
+    shift = max(0, lbl_bits - 4)
+    grp = jnp.where(mask, labels >> shift, jnp.int32(_N_GROUPS))
+
+    rl = _row_runlen(mask)
+    best_lab = _SENTINEL
+    best_area = jnp.int32(-1)
+    picks = []
+    for _ in range(_CAND_K):
+        rmax = jnp.max(rl)
+        lab_k = jnp.min(jnp.where((rl == rmax) & (rl > 0), labels, _SENTINEL))
+        valid = lab_k < _SENTINEL
+        area_k = jnp.where(
+            valid, jnp.sum(jnp.where(mask & (labels == lab_k), 1, 0)), 0)
+        picks.append((lab_k, area_k))
+        take = valid & ((area_k > best_area)
+                        | ((area_k == best_area) & (lab_k < best_lab)))
+        best_lab = jnp.where(take, lab_k, best_lab)
+        best_area = jnp.where(take, area_k, best_area)
+        rl = jnp.where(labels == lab_k, 0, rl)
+
+    bound = jnp.int32(-1)
+    for g in range(_N_GROUPS):
+        cnt_g = jnp.sum(jnp.where(grp == g, 1, 0))
+        for lab_k, area_k in picks:
+            cnt_g = cnt_g - jnp.where((lab_k >> shift) == g, area_k, 0)
+        bound = jnp.maximum(bound, cnt_g)
+    provable = best_area > bound
+    return provable, best_lab
 
 
 def largest_mask_from_labels(labels, mask):
@@ -212,15 +282,16 @@ def largest_mask_from_labels(labels, mask):
     ops._mode_label (smallest-label tie-break). Shared by the standalone
     mode kernel and the fused largest-object/cleaner kernels.
 
-    Fast path: a probed candidate whose measured area exceeds HALF the
-    mask is provably the unique argmax (no other component can reach
-    it), so the 136-stage bitonic sort is skipped — in mammograms the
-    breast/pectoral blob always wins this check. Otherwise the exact
-    sort runs; either way the selected label is exact."""
-    cand = _majority_candidate(labels, mask)
-    area = jnp.sum(jnp.where(mask & (labels == cand), 1, 0))
-    total = jnp.sum(jnp.where(mask, 1, 0))
-    best = lax.cond(area * 2 > total,
+    Fast path (r3): the top-K run proof above — r3's earlier
+    half-total majority proof never fired at the pectoral call site
+    (largest component ~28% of the high-threshold mask, measured), so
+    all images still paid the 136-stage sort there. The group-residual
+    proof certifies sub-majority argmaxes too; the exact sort remains
+    the fallback for adversarial masks, so the result is exact either
+    way (lax.cond branches lazily in Mosaic — only the taken branch
+    runs)."""
+    provable, cand = _topk_run_best(labels, mask)
+    best = lax.cond(provable,
                     lambda: cand,
                     lambda: _sort_best_label(labels, mask))
     return mask & (labels == best)

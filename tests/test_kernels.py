@@ -59,7 +59,17 @@ def test_mode_kernel_matches_xla(masks, rng):
     extra = np.zeros((2, 128, 128), bool)
     extra[0, 10:20, 10:20] = True     # 100 px
     extra[0, 60:70, 60:70] = True     # 100 px tie
-    cases = [np.asarray(masks), extra]
+    # sub-majority largest (the pectoral-stage shape where the old
+    # half-total proof never fired): largest ~30% + several mid blobs
+    # + speckle; and pure speckle (probe proof must fall back to sort)
+    submaj = np.zeros((2, 128, 128), bool)
+    yy, xx = np.mgrid[0:128, 0:128]
+    submaj[0] |= ((yy - 30) ** 2 + (xx - 30) ** 2) < 700
+    submaj[0] |= ((yy - 90) ** 2 + (xx - 90) ** 2) < 350
+    submaj[0] |= ((yy - 30) ** 2 + (xx - 100) ** 2) < 200
+    submaj[0, 100:104, 5:125:7] = True                  # speckle stripes
+    submaj[1] = (np.asarray(rng.random((128, 128))) < 0.08)  # pure speckle
+    cases = [np.asarray(masks), extra, submaj]
     for case in cases:
         m = jnp.asarray(case)
         labels = jax.vmap(lambda x: C._label_core(x, 8, 128))(m)
