@@ -52,11 +52,22 @@ def _doubling_cummin(p, axis: int, reverse: bool, fill):
 
 
 def ccl_relax(mask, row_seg, col_seg, *, lbl_bits: int,
-              connectivity: int, max_iters: int):
+              connectivity: int, max_iters: int, nb_rounds: int = 1):
     """In-kernel CCL to the fixpoint: (h, w) bool mask + barrier segment
     ids -> int32 labels (component-min linear index; background holds
     the (1<<lbl_bits)-1 sentinel). Shared by the standalone CCL kernel
-    and the fused largest-object kernel (kernels/largest_obj.py)."""
+    and the fused largest-object kernel (kernels/largest_obj.py).
+
+    nb_rounds repeats the cheap 1-hop neighbour-min step that many
+    times per sweep. Diagonal speckle chains (8-connectivity) propagate
+    only one hop per round while the row/col line scans fly past them,
+    so speckle-heavy masks are round-bound: at the pectoral call site
+    (median 13 sweeps at nb_rounds=1) nb_rounds=8 cuts sweeps to 3-5
+    and measured 8.8 -> 5.0 ms/96-batch. Blob-dominated masks
+    (suppress/segment, 3 sweeps either way) keep the default 1 — extra
+    rounds there are pure cost. The fixpoint (and thus the labels) is
+    identical for any nb_rounds: rounds are idempotent relaxations
+    (verified bit-exact on-chip across k=1,2,4,6,8,12,16)."""
     h, w = mask.shape
     lbl_mask = np.int32((1 << lbl_bits) - 1)
     big = np.int32(2**30)
@@ -79,11 +90,14 @@ def ccl_relax(mask, row_seg, col_seg, *, lbl_bits: int,
         b = _doubling_cummin(p, 0, True, big) & lbl_mask
         vals = jnp.where(mask, jnp.minimum(f, b), lbl_mask)
         if connectivity == 8:
-            nb = _shifted_min(vals, 1, 0, lbl_mask)
-            nb = _shifted_min_rev(nb, 1, 0, lbl_mask)
-            nb = _shifted_min(nb, 1, 1, lbl_mask)
-            nb = _shifted_min_rev(nb, 1, 1, lbl_mask)
-            vals = jnp.where(mask, nb, lbl_mask)
+            def nb_round(_, v):
+                nb = _shifted_min(v, 1, 0, lbl_mask)
+                nb = _shifted_min_rev(nb, 1, 0, lbl_mask)
+                nb = _shifted_min(nb, 1, 1, lbl_mask)
+                nb = _shifted_min_rev(nb, 1, 1, lbl_mask)
+                return jnp.where(mask, nb, lbl_mask)
+
+            vals = lax.fori_loop(0, nb_rounds, nb_round, vals)
         return vals
 
     def cond(state):

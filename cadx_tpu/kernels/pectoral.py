@@ -50,8 +50,11 @@ def _pectoral_kernel(equ_ref, bin_ref, breast_ref, labels_ref, boundary_ref,
     m = bin_ref[0] != 0
     # largest object + hole fill (select_largest_obj(fill, no smooth))
     rs, cs = _segs(m)
+    # nb_rounds=8: the high-threshold mask is speckle-heavy and its
+    # diagonal chains are round-bound (median 13 sweeps at 1 round,
+    # 3-5 at 8; 8.8 -> 5.0 ms/96-batch measured) — see ccl.ccl_relax
     labels0 = ccl_relax(m, rs, cs, lbl_bits=lbl_bits, connectivity=8,
-                        max_iters=max_iters)
+                        max_iters=max_iters, nb_rounds=8)
     pect = largest_mask_from_labels(labels0, m)
     pect = _fill_holes(pect, max_iters)
 
