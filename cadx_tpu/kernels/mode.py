@@ -224,7 +224,13 @@ def _row_runlen(mask):
 def _topk_run_best(labels, mask):
     """(provable, best_label): exact argmax-area label when provable.
 
-    Candidates: the K components with the longest horizontal runs —
+    Tier 1: the longest-run candidate's exact area beats half the mask
+    (the classic majority proof) — fires at the blob-dominated
+    suppress/segment call sites and costs only the run-length plane
+    plus three reduces. Tier 2 (lax.cond, lazily evaluated) is the
+    group-residual certificate below for sub-majority masks.
+
+    Tier-2 candidates: the K components with the longest horizontal runs —
     picked by iterated masked max over the run-length plane (scalar
     reduces are cheap on this VPU, ~8us/96-batch each; the r3 v1 of
     this path extracted a (32,32) probe grid and mini-bitonic-sorted
@@ -247,32 +253,48 @@ def _topk_run_best(labels, mask):
     h, w = labels.shape
     lbl_bits = int(np.ceil(np.log2(h * w + 1)))
     shift = max(0, lbl_bits - 4)
-    grp = jnp.where(mask, labels >> shift, jnp.int32(_N_GROUPS))
 
     rl = _row_runlen(mask)
-    best_lab = _SENTINEL
-    best_area = jnp.int32(-1)
-    picks = []
-    for _ in range(_CAND_K):
-        rmax = jnp.max(rl)
-        lab_k = jnp.min(jnp.where((rl == rmax) & (rl > 0), labels, _SENTINEL))
-        valid = lab_k < _SENTINEL
-        area_k = jnp.where(
-            valid, jnp.sum(jnp.where(mask & (labels == lab_k), 1, 0)), 0)
-        picks.append((lab_k, area_k))
-        take = valid & ((area_k > best_area)
-                        | ((area_k == best_area) & (lab_k < best_lab)))
-        best_lab = jnp.where(take, lab_k, best_lab)
-        best_area = jnp.where(take, area_k, best_area)
-        rl = jnp.where(labels == lab_k, 0, rl)
+    rmax = jnp.max(rl)
+    cand1 = jnp.min(jnp.where((rl == rmax) & (rl > 0), labels, _SENTINEL))
+    valid1 = cand1 < _SENTINEL
+    area1 = jnp.where(
+        valid1, jnp.sum(jnp.where(mask & (labels == cand1), 1, 0)), 0)
+    total = jnp.sum(jnp.where(mask, 1, 0))
+    # tier 1: half-total majority proof with the longest-run candidate —
+    # fires at the blob-dominated call sites (breast >50% of mask) and
+    # skips the K-candidate loop + group counts entirely
+    tier1 = valid1 & (area1 * 2 > total)
 
-    bound = jnp.int32(-1)
-    for g in range(_N_GROUPS):
-        cnt_g = jnp.sum(jnp.where(grp == g, 1, 0))
-        for lab_k, area_k in picks:
-            cnt_g = cnt_g - jnp.where((lab_k >> shift) == g, area_k, 0)
-        bound = jnp.maximum(bound, cnt_g)
-    provable = best_area > bound
+    def tier2():
+        grp = jnp.where(mask, labels >> shift, jnp.int32(_N_GROUPS))
+        best_lab, best_area = cand1, jnp.where(valid1, area1, -1)
+        picks = [(cand1, area1)]
+        rl2 = jnp.where(labels == cand1, 0, rl)
+        for _ in range(_CAND_K - 1):
+            rmax_k = jnp.max(rl2)
+            lab_k = jnp.min(
+                jnp.where((rl2 == rmax_k) & (rl2 > 0), labels, _SENTINEL))
+            valid = lab_k < _SENTINEL
+            area_k = jnp.where(
+                valid, jnp.sum(jnp.where(mask & (labels == lab_k), 1, 0)), 0)
+            picks.append((lab_k, area_k))
+            take = valid & ((area_k > best_area)
+                            | ((area_k == best_area) & (lab_k < best_lab)))
+            best_lab = jnp.where(take, lab_k, best_lab)
+            best_area = jnp.where(take, area_k, best_area)
+            rl2 = jnp.where(labels == lab_k, 0, rl2)
+
+        bound = jnp.int32(-1)
+        for g in range(_N_GROUPS):
+            cnt_g = jnp.sum(jnp.where(grp == g, 1, 0))
+            for lab_k, area_k in picks:
+                cnt_g = cnt_g - jnp.where((lab_k >> shift) == g, area_k, 0)
+            bound = jnp.maximum(bound, cnt_g)
+        return best_area > bound, best_lab
+
+    provable, best_lab = lax.cond(
+        tier1, lambda: (jnp.bool_(True), cand1), tier2)
     return provable, best_lab
 
 
