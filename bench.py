@@ -183,7 +183,9 @@ def main():
     def _encode_classify(x):
         clean01 = jax.vmap(cleaner.clean_boundary_gray)(x) / 255.0
         feats = unet.encoder_first_features(params.encoder, clean01[..., None])
-        fs = jax.vmap(lambda f: resize_linear(f, config.feature_hw))(feats)
+        feats = feats.astype(jnp.dtype(config.feature_dtype))  # as production
+        fs = jax.vmap(lambda f: resize_linear(
+            f.astype(jnp.float32), config.feature_hw))(feats)
         probs = cnn.forward(params.classifier, fs, config.classifier)
         return probs.sum() + fs.sum() / 1e3
 

@@ -1,5 +1,7 @@
 """Fused pipeline integration tests (CPU; perf is bench.py's job)."""
 
+import dataclasses
+
 import cv2
 import jax
 import jax.numpy as jnp
@@ -67,13 +69,30 @@ def test_pipeline_stages_consistent_with_components(rng):
     from cadx_tpu.ops.resize import resize_linear
 
     feats = unet.encoder_first_features(params.encoder, clean01[..., None])
-    feats_small = jax.vmap(lambda f: resize_linear(f, (16, 16)))(feats)
+    # the pipeline stores features at config.feature_dtype (bf16 default)
+    feats_cast = feats.astype(jnp.dtype(config.feature_dtype))
+    feats_small = jax.vmap(
+        lambda f: resize_linear(f.astype(jnp.float32), (16, 16)))(feats_cast)
     probs = cnn.forward(params.classifier, feats_small, config.classifier)
-    np.testing.assert_allclose(np.asarray(out.probs), np.asarray(probs), atol=1e-6)
+    # bf16 feature storage: the fused program's conv output can differ
+    # from the standalone program's by 1 f32 ULP, which a bf16 rounding
+    # boundary amplifies to one bf16 step (~1e-3 relative) on a handful
+    # of elements — compare at bf16 scale here, bit-exact below with
+    # feature_dtype="float32"
+    np.testing.assert_allclose(np.asarray(out.probs), np.asarray(probs), atol=1e-4)
     np.testing.assert_allclose(np.asarray(out.features), np.asarray(feats_small),
+                               atol=2e-3)
+
+    cfg_f32 = dataclasses.replace(config, feature_dtype="float32")
+    out32 = fused.run_pipeline(params, batch, cfg_f32)
+    feats_small32 = jax.vmap(lambda f: resize_linear(f, (16, 16)))(feats)
+    probs32 = cnn.forward(params.classifier, feats_small32, config.classifier)
+    np.testing.assert_allclose(np.asarray(out32.probs), np.asarray(probs32),
                                atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out32.features),
+                               np.asarray(feats_small32), atol=1e-6)
     # and the MXU form tracks the gather form to float tolerance
-    mxu = fused._resize_feats_mxu(feats, (16, 16))
+    mxu = fused._resize_feats_mxu(feats_cast.astype(jnp.float32), (16, 16))
     np.testing.assert_allclose(np.asarray(mxu), np.asarray(feats_small),
                                rtol=1e-5, atol=1e-5)
 
