@@ -40,14 +40,19 @@ _SEQ_DELIM = 0xE0DD
 _FFFE = 0xFFFE
 
 
-def parse_fragments(raw: bytes) -> list[bytes]:
-    """Split an encapsulated PixelData value (the bytes AFTER the
-    undefined-length header) into fragments. The first item is the Basic
-    Offset Table and is dropped (it may be zero-length)."""
+def _parse_items(raw: bytes):
+    """(bot_offsets, fragments, fragment_offsets) of an encapsulated
+    PixelData value (the bytes AFTER the undefined-length header). The
+    first item is the Basic Offset Table: a list of uint32 byte offsets
+    of each frame's first fragment ITEM HEADER, measured from the first
+    byte after the BOT item (PS3.5 A.4) — empty when absent."""
     frags: list[bytes] = []
+    frag_offs: list[int] = []
+    bot: list[int] = []
     off = 0
     buf = memoryview(raw)
     first = True
+    base = None  # offset of the first byte after the BOT item
     while off + 8 <= len(buf):
         group, elem = struct.unpack_from("<HH", buf, off)
         length = struct.unpack_from("<I", buf, off + 4)[0]
@@ -62,20 +67,79 @@ def parse_fragments(raw: bytes) -> list[bytes]:
         if off + length > len(buf):
             raise CodecError("encapsulated item overruns pixel data")
         if first:
-            first = False  # Basic Offset Table — ignored
+            first = False  # Basic Offset Table
+            if length % 4:
+                raise CodecError(f"Basic Offset Table length {length} "
+                                 "not a multiple of 4")
+            bot = list(struct.unpack_from(f"<{length // 4}I", buf, off))
+            base = off + length
         else:
+            frag_offs.append(off - 8 - base)
             frags.append(bytes(buf[off:off + length]))
         off += length
-    return frags
+    return bot, frags, frag_offs
 
 
-def encapsulate(fragments: list[bytes]) -> bytes:
-    """Build an encapsulated PixelData value: empty Basic Offset Table
-    item + one item per fragment + sequence delimiter."""
-    out = [struct.pack("<HHI", _FFFE, _ITEM, 0)]
-    for f in fragments:
-        if len(f) % 2:
-            f = f + b"\x00"
+def parse_fragments(raw: bytes) -> list[bytes]:
+    """Fragments of an encapsulated PixelData value (BOT dropped)."""
+    return _parse_items(raw)[1]
+
+
+def split_frames(raw: bytes, n_frames: int) -> list[bytes]:
+    """Group an encapsulated PixelData value's fragments into per-frame
+    byte streams, pydicom-compatible rules:
+
+    - one frame: all fragments concatenate;
+    - a non-empty Basic Offset Table maps frames to fragments exactly
+      (offset of each frame's first fragment header);
+    - no BOT: only the unambiguous one-fragment-per-frame layout is
+      accepted; anything else raises (guessing frame boundaries would
+      silently decode garbage)."""
+    bot, frags, frag_offs = _parse_items(raw)
+    if not frags:
+        raise CodecError("encapsulated PixelData has no fragments")
+    if n_frames <= 1:
+        return [b"".join(frags)]
+    if bot:
+        if len(bot) != n_frames:
+            raise CodecError(
+                f"Basic Offset Table has {len(bot)} entries for "
+                f"{n_frames} frames")
+        if bot[0] != 0 or list(bot) != sorted(bot):
+            raise CodecError(f"implausible Basic Offset Table {bot}")
+        starts = []
+        for i, target in enumerate(bot):
+            try:
+                starts.append(frag_offs.index(target))
+            except ValueError:
+                raise CodecError(
+                    f"BOT offset {target} does not land on a fragment "
+                    f"boundary (fragment offsets {frag_offs})") from None
+        starts.append(len(frags))
+        return [b"".join(frags[starts[i]:starts[i + 1]])
+                for i in range(n_frames)]
+    if len(frags) == n_frames:
+        return list(frags)
+    raise CodecError(
+        f"cannot map {len(frags)} fragments to {n_frames} frames "
+        "without a Basic Offset Table")
+
+
+def encapsulate(fragments: list[bytes], bot: bool = False) -> bytes:
+    """Build an encapsulated PixelData value: Basic Offset Table item
+    (empty unless `bot`, then one frame per fragment) + one item per
+    fragment + sequence delimiter."""
+    padded = [f + b"\x00" if len(f) % 2 else f for f in fragments]
+    if bot:
+        offs, pos = [], 0
+        for f in padded:
+            offs.append(pos)
+            pos += 8 + len(f)
+        table = struct.pack(f"<{len(offs)}I", *offs)
+    else:
+        table = b""
+    out = [struct.pack("<HHI", _FFFE, _ITEM, len(table)), table]
+    for f in padded:
         out.append(struct.pack("<HHI", _FFFE, _ITEM, len(f)))
         out.append(f)
     out.append(struct.pack("<HHI", _FFFE, _SEQ_DELIM, 0))

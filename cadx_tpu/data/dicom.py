@@ -131,41 +131,41 @@ class DicomFile:
             dtype = np.dtype(bo + ("i2" if signed else "u2"))
         else:
             raise DicomError(f"unsupported BitsAllocated={bits}")
-        need = rows * cols * samples * (bits // 8)
+        n_frames = max(self.get_is(TAG_NUMBER_OF_FRAMES, 1), 1)
+        need = n_frames * rows * cols * samples * (bits // 8)
         if len(raw) < need:
             raise DicomError(f"PixelData too short: {len(raw)} < {need}")
         arr = np.frombuffer(raw[:need], dtype=dtype)
         if self.big_endian and bits == 16:
             arr = arr.astype(arr.dtype.newbyteorder("="))  # native order out
-        if samples > 1:
-            return arr.reshape(rows, cols, samples)
-        return arr.reshape(rows, cols)
+        shape = (rows, cols) if samples == 1 else (rows, cols, samples)
+        if n_frames > 1:  # pydicom convention: leading frame axis
+            return arr.reshape((n_frames,) + shape)
+        return arr.reshape(shape)
 
     def _decode_compressed(self, raw: bytes, rows: int, cols: int,
                            bits: int, signed: bool) -> np.ndarray:
         from cadx_tpu.data import codecs
 
-        n_frames = self.get_is(TAG_NUMBER_OF_FRAMES, 1)
-        if n_frames > 1:
-            # fragments would silently concatenate across frames
-            raise DicomError(
-                f"multi-frame compressed DICOM unsupported ({n_frames} frames)")
+        n_frames = max(self.get_is(TAG_NUMBER_OF_FRAMES, 1), 1)
         try:
-            frags = codecs.parse_fragments(raw)
-            if not frags:
-                raise DicomError("encapsulated PixelData has no fragments")
-            frame = b"".join(frags)  # single-frame: fragments concatenate
-            if self.transfer_syntax == TS_RLE:
-                arr = codecs.rle_decode(frame, rows, cols, bits)
-            else:
-                arr = _jpeg_lossless_pixels(frame, rows, cols)
+            frames = codecs.split_frames(raw, n_frames)
+            decoded = []
+            for frame in frames:
+                if self.transfer_syntax == TS_RLE:
+                    decoded.append(codecs.rle_decode(frame, rows, cols, bits))
+                else:
+                    decoded.append(_jpeg_lossless_pixels(frame, rows, cols))
         except (codecs.CodecError, IndexError, struct.error) as e:
             # malformed streams may fail mid-parse with raw index/struct
             # errors; surface every decode failure as DicomError
             raise DicomError(f"compressed pixel decode failed: {e}") from e
-        if bits == 8:
-            return arr.astype(np.int8 if signed else np.uint8)
-        return arr.astype(np.int16 if signed else np.uint16)
+        dtype = (np.int8 if signed else np.uint8) if bits == 8 else (
+            np.int16 if signed else np.uint16)
+        if n_frames == 1:
+            return decoded[0].astype(dtype)
+        # pydicom shape convention for multi-frame: (frames, rows, cols)
+        return np.stack([d.astype(dtype) for d in decoded])
 
 
 def _scan_undefined(buf: memoryview, off: int, bo: str = "<") -> int:
@@ -313,7 +313,10 @@ def dcmwrite_minimal(path: str, pixel_array: np.ndarray,
         bits = 16
     else:
         raise DicomError("writer supports uint8/uint16 only")
-    rows, cols = arr.shape[:2]
+    if arr.ndim == 3:   # (frames, rows, cols) multi-frame
+        n_frames, rows, cols = arr.shape
+    else:
+        n_frames, (rows, cols) = 1, arr.shape[:2]
     bo = ">" if transfer_syntax == TS_EXPLICIT_BE else "<"
 
     def elem_short(group, el, vr: bytes, value: bytes, order: str = None) -> bytes:
@@ -336,6 +339,8 @@ def dcmwrite_minimal(path: str, pixel_array: np.ndarray,
     us = lambda v: struct.pack(bo + "H", v)
     body = b""
     body += elem_short(0x0010, 0x0020, b"LO", patient_id.encode())
+    if n_frames > 1:
+        body += elem_short(0x0028, 0x0008, b"IS", str(n_frames).encode())
     body += elem_short(0x0028, 0x0002, b"US", us(1))
     body += elem_short(0x0028, 0x0010, b"US", us(rows))
     body += elem_short(0x0028, 0x0011, b"US", us(cols))
@@ -354,11 +359,15 @@ def dcmwrite_minimal(path: str, pixel_array: np.ndarray,
     elif transfer_syntax in _ENCAPSULATED_TS:
         from cadx_tpu.data import codecs
 
+        frames = arr if arr.ndim == 3 else arr[None]
         if transfer_syntax == TS_RLE:
-            frame = codecs.rle_encode(arr)
+            enc = [codecs.rle_encode(f) for f in frames]
         else:
-            frame = codecs.jpeg_lossless_encode(arr, precision=bits)
-        encap = codecs.encapsulate([frame])
+            enc = [codecs.jpeg_lossless_encode(f, precision=bits)
+                   for f in frames]
+        # multi-frame gets a Basic Offset Table so readers can map
+        # fragments to frames (PS3.5 A.4)
+        encap = codecs.encapsulate(enc, bot=n_frames > 1)
         # OB with undefined length + item stream (PS3.5 A.4)
         body += (struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00"
                  + struct.pack("<I", 0xFFFFFFFF) + encap)

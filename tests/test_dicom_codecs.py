@@ -123,6 +123,67 @@ def test_deflated_corrupt_stream_raises(tmp_path, mammo16):
         pass  # either a clean inflate error or a short-PixelData error
 
 
+def test_multiframe_roundtrip(tmp_path, mammo16, rng):
+    """Multi-frame (e.g. tomosynthesis) DICOM: (frames, rows, cols)
+    arrays round-trip through raw, RLE and JPEG-lossless encodings —
+    the compressed forms via a Basic Offset Table (PS3.5 A.4)."""
+    stack = np.stack([mammo16, mammo16[::-1], (mammo16 // 2)])
+    for ts in (dicom.TS_EXPLICIT_LE, dicom.TS_RLE, dicom.TS_JPEG_LOSSLESS_SV1):
+        p = os.path.join(tmp_path, "mf.dcm")
+        dicom.dcmwrite_minimal(p, stack, "P003", transfer_syntax=ts)
+        ds = dicom.dcmread(p)
+        assert ds.get_is(dicom.TAG_NUMBER_OF_FRAMES) == 3
+        out = ds.pixel_array
+        assert out.shape == stack.shape, ts
+        np.testing.assert_array_equal(out, stack, err_msg=ts)
+
+
+def test_multiframe_bot_fragment_grouping(mammo16):
+    """A frame split across several fragments maps back through the
+    Basic Offset Table; without a BOT an ambiguous fragment count
+    raises instead of guessing."""
+    f0 = codecs.rle_encode(mammo16)
+    f1 = codecs.rle_encode(mammo16[::-1])
+    # frame 0 in two fragments, frame 1 in one: BOT = [0, len(item0+item1)]
+    frag_a, frag_b = f0[: len(f0) // 2 * 2], f0[len(f0) // 2 * 2:]
+    import struct as _s
+
+    def item(b):
+        if len(b) % 2:
+            b += b"\x00"
+        return _s.pack("<HHI", 0xFFFE, 0xE000, len(b)) + b
+
+    items = [item(frag_a), item(frag_b), item(f1)]
+    bot = _s.pack("<2I", 0, len(items[0]) + len(items[1]))
+    raw = (_s.pack("<HHI", 0xFFFE, 0xE000, len(bot)) + bot
+           + b"".join(items) + _s.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+    frames = codecs.split_frames(raw, 2)
+    assert frames[0] == frag_a + (frag_b + b"\x00" if len(frag_b) % 2 else frag_b)
+    back0 = codecs.rle_decode(frames[0], *mammo16.shape, 16)
+    back1 = codecs.rle_decode(frames[1], *mammo16.shape, 16)
+    np.testing.assert_array_equal(back0.astype(np.uint16), mammo16)
+    np.testing.assert_array_equal(back1.astype(np.uint16), mammo16[::-1])
+
+    # 3 fragments, 2 frames, no BOT -> must raise, not guess
+    raw_nobot = codecs.encapsulate([frag_a, frag_b, f1])
+    with pytest.raises(codecs.CodecError):
+        codecs.split_frames(raw_nobot, 2)
+    # BOT entry count mismatch -> raise
+    with pytest.raises(codecs.CodecError):
+        codecs.split_frames(raw, 3)
+
+
+def test_multiframe_serving_uses_first_frame(tmp_path, mammo16):
+    from cadx_tpu.serve.app import _imread_gray
+
+    stack = np.stack([mammo16, np.zeros_like(mammo16)])
+    p = os.path.join(tmp_path, "mf.dcm")
+    dicom.dcmwrite_minimal(p, stack, transfer_syntax=dicom.TS_RLE)
+    out = _imread_gray(p)
+    assert out is not None and out.shape == mammo16.shape
+    np.testing.assert_array_equal(out, mammo16)
+
+
 def test_dcmread_compressed_8bit(tmp_path, rng):
     img = (rng.random((40, 56)) * 255).astype(np.uint8)
     for ts in (dicom.TS_RLE, dicom.TS_JPEG_LOSSLESS_SV1):
