@@ -126,7 +126,9 @@ class Preprocessing:
     def view_DICOM_image(self, instance) -> None:
         import matplotlib.pyplot as plt
 
-        plt.imshow(instance["DICOM"].pixel_array)
+        from cadx_tpu.data import dicom as _dicom
+
+        plt.imshow(_dicom.primary_frame(instance["DICOM"]))
         plt.title(f"DICOM Image : {instance['PatientID']}")
         plt.show()
 

@@ -69,7 +69,9 @@ def load_mapping_csv(mapping_csv_path: str,
     kept_records, raw_images, raw_classes_str = [], [], []
     for item in records:
         try:
-            pixels = np.asarray(item["DICOM"].pixel_array)
+            # frame 0 / luma for multi-frame or color files: the training
+            # stack is 2-D grayscale (dicom.primary_frame)
+            pixels = np.asarray(dicom.primary_frame(item["DICOM"]))
         except Exception as e:  # noqa: BLE001
             log(f"Skipping file due to pixel extraction error: {e}")
             continue

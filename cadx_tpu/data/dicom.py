@@ -168,6 +168,24 @@ class DicomFile:
         return np.stack([d.astype(dtype) for d in decoded])
 
 
+def primary_frame(ds) -> np.ndarray:
+    """2-D grayscale view of a dataset's pixel data: frame 0 of
+    multi-frame files (tomosynthesis), rec601 luma of samples-last
+    color (RGB secondary capture) — cv2.imread-grayscale semantics.
+    The frame axis is identified by NumberOfFrames, never by ndim
+    alone (an RGB file is also 3-D). Accepts any object with a
+    pydicom-style `pixel_array`."""
+    arr = np.asarray(ds.pixel_array)
+    n_frames = ds.get_is(TAG_NUMBER_OF_FRAMES, 1) if hasattr(ds, "get_is") else 1
+    if n_frames > 1 and arr.ndim >= 3:
+        arr = arr[0]
+    if arr.ndim == 3 and arr.shape[-1] in (3, 4):
+        a = arr.astype(np.float64)
+        gray = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+        arr = np.round(gray).astype(arr.dtype)
+    return arr
+
+
 def _scan_undefined(buf: memoryview, off: int, bo: str = "<") -> int:
     """Walk item tags from `off` to just past the (FFFE,E0DD) sequence
     delimiter. Handles the flat item layout of encapsulated pixel data
@@ -261,14 +279,21 @@ def dcmread(path_or_bytes) -> DicomFile:
     off = 132
 
     elements: dict[tuple[int, int], bytes] = {}
-    # file meta group (always explicit VR LE)
+    # file meta group (always explicit VR LE). Prefer the declared
+    # FileMetaInformationGroupLength (0002,0000) bound over sniffing the
+    # next element's group — for Deflated files the bytes after the meta
+    # group are a raw deflate stream that can legitimately start with
+    # 02 00 and masquerade as a group-2 tag.
     ts = "1.2.840.10008.1.2.1"
-    while off < len(buf):
+    meta_end = None
+    while off < len(buf) and (meta_end is None or off < meta_end):
         group = struct.unpack_from("<H", buf, off)[0]
         if group != 0x0002:
             break
         tag, value, off = _read_element(buf, off, explicit=True)
         elements[tag] = value
+        if tag == (0x0002, 0x0000) and len(value) == 4:
+            meta_end = off + struct.unpack("<I", value)[0]
     ts = elements.get(TAG_TRANSFER_SYNTAX, ts)
     if isinstance(ts, bytes):
         ts = ts.decode("ascii", errors="replace").strip("\x00 ").strip()
@@ -322,7 +347,8 @@ def dcmwrite_minimal(path: str, pixel_array: np.ndarray,
     def elem_short(group, el, vr: bytes, value: bytes, order: str = None) -> bytes:
         order = bo if order is None else order
         if len(value) % 2:
-            value += b"\x00" if vr != b"UI" else b"\x00"
+            # PS3.5 6.2: text VRs pad with SPACE, UI (and binary) with NUL
+            value += b" " if vr in (b"LO", b"IS", b"SH", b"CS", b"PN") else b"\x00"
         return (struct.pack(order + "HH", group, el) + vr
                 + struct.pack(order + "H", len(value)) + value)
 
@@ -333,9 +359,14 @@ def dcmwrite_minimal(path: str, pixel_array: np.ndarray,
         return (struct.pack(order + "HH", group, el) + vr + b"\x00\x00"
                 + struct.pack(order + "I", len(value)) + value)
 
-    # file meta group is ALWAYS explicit VR little-endian
+    # file meta group is ALWAYS explicit VR little-endian; the declared
+    # group length (0002,0000) lets readers bound the group without
+    # sniffing past it (essential for Deflated files, whose payload can
+    # start with bytes that look like a group-2 tag)
     meta = elem_short(0x0002, 0x0010, b"UI", transfer_syntax.encode(), "<")
     meta = elem_long(0x0002, 0x0001, b"OB", b"\x00\x01", "<") + meta
+    meta = elem_short(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta)),
+                      "<") + meta
     us = lambda v: struct.pack(bo + "H", v)
     body = b""
     body += elem_short(0x0010, 0x0020, b"LO", patient_id.encode())

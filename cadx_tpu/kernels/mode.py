@@ -209,14 +209,21 @@ def _row_runlen(mask):
         seg = seg + jnp.where(c < shift, 0, rolled)
         shift *= 2
     col_bits = int(np.ceil(np.log2(w + 1)))
+    col_mask = np.int32((1 << col_bits) - 1)
     big = np.int32(2**30)
     max_seg = np.int32(w + 1)
     from cadx_tpu.kernels.ccl import _doubling_cummin
 
-    start = (_doubling_cummin(((max_seg - seg) << col_bits) | c, 1, False, big)
-             & ((1 << col_bits) - 1))
-    rev = (_doubling_cummin((seg << col_bits) | (w - 1 - c), 1, True, big)
-           & ((1 << col_bits) - 1))
+    # the inclusive barrier cumsum puts each run's LEFT barrier in the
+    # run's segment; sentinel the column value at non-mask pixels so the
+    # segmented min/max see run pixels only (else every run not touching
+    # column 0 over-counts by one)
+    cval = jnp.where(mask, c, col_mask)
+    rval = jnp.where(mask, w - 1 - c, col_mask)
+    start = (_doubling_cummin(((max_seg - seg) << col_bits) | cval, 1, False, big)
+             & col_mask)
+    rev = (_doubling_cummin((seg << col_bits) | rval, 1, True, big)
+           & col_mask)
     end = w - 1 - rev
     return jnp.where(mask, end - start + 1, 0)
 
@@ -251,8 +258,11 @@ def _topk_run_best(labels, mask):
     back to the exact sort. Candidate CHOICE never affects soundness:
     bad candidates only weaken the bound."""
     h, w = labels.shape
-    lbl_bits = int(np.ceil(np.log2(h * w + 1)))
-    shift = max(0, lbl_bits - 4)
+    # labels are raster indices <= h*w - 1, so they need ceil(log2(h*w))
+    # bits (NOT the packed-encoding lbl_bits, which reserves one more for
+    # the background sentinel — deriving the shift from that constant
+    # left groups 8-15 permanently empty and the bound ~2x looser)
+    shift = max(0, int(np.ceil(np.log2(h * w))) - 4)
 
     rl = _row_runlen(mask)
     rmax = jnp.max(rl)

@@ -64,12 +64,10 @@ def _imread_gray(path: str) -> np.ndarray | None:
     try:
         from cadx_tpu.data import dicom
 
-        arr = dicom.dcmread(path).pixel_array
-        if arr.ndim == 3:
-            # multi-frame (e.g. tomosynthesis): serve the first frame —
-            # the 2D pipeline's contract; per-frame serving would need a
-            # frame-select UI the reference also lacks
-            arr = arr[0]
+        # frame 0 of multi-frame files, rec601 luma of RGB — the 2D
+        # pipeline's contract (per-frame serving would need a
+        # frame-select UI the reference also lacks)
+        arr = dicom.primary_frame(dicom.dcmread(path))
         if arr.dtype in (np.uint8, np.uint16):
             # preserve the native bit depth, matching the ANYDEPTH
             # treatment 16-bit PNG/TIFF uploads get above (the cleaner's

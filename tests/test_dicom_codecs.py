@@ -113,14 +113,54 @@ def test_dcmread_deflated_and_big_endian(tmp_path, mammo16, rng):
 
 
 def test_deflated_corrupt_stream_raises(tmp_path, mammo16):
+    """A corrupted deflate tail must surface as DicomError or at least
+    never return the original pixels unmodified — silent mis-decode is
+    the failure mode this guards."""
     p = os.path.join(tmp_path, "d.dcm")
     dicom.dcmwrite_minimal(p, mammo16, transfer_syntax=dicom.TS_DEFLATED_LE)
     blob = bytearray(open(p, "rb").read())
-    blob[-20:] = os.urandom(20)  # corrupt the tail of the deflate stream
+    blob[-20:] = b"\xff" * 20  # corrupt the tail of the deflate stream
     try:
-        dicom.dcmread(bytes(blob)).pixel_array
+        out = dicom.dcmread(bytes(blob)).pixel_array
     except dicom.DicomError:
-        pass  # either a clean inflate error or a short-PixelData error
+        return  # clean inflate / short-PixelData error: the contract
+    assert not (out.shape == mammo16.shape and np.array_equal(out, mammo16)), \
+        "corrupted stream decoded to the original pixels"
+
+
+def test_deflated_payload_looking_like_group2_tag(tmp_path, mammo16):
+    """The meta group is bounded by (0002,0000) GroupLength, not by
+    content sniffing: a valid deflate payload whose FIRST BYTES look
+    like a group-2 tag (02 00 ...) must still parse. A non-final
+    fixed-huffman block starts with low bits BFINAL=0/BTYPE=01, i.e.
+    first byte 0x02 for text-ish data — exactly the masquerade case."""
+    import zlib as _z
+
+    p = os.path.join(tmp_path, "d.dcm")
+    dicom.dcmwrite_minimal(p, mammo16, transfer_syntax=dicom.TS_DEFLATED_LE)
+    blob = open(p, "rb").read()
+    i = blob.index(b"\x02\x00\x00\x00UL\x04\x00")  # (0002,0000) element
+    glen = int.from_bytes(blob[i + 8:i + 12], "little")
+    meta_end = i + 12 + glen
+    body = _z.decompressobj(-15).decompress(blob[meta_end:])
+    # hand-assemble a valid raw-deflate stream whose first two bytes are
+    # exactly 02 00: an EMPTY non-final fixed-huffman block is 10 bits
+    # (header 010 + 7-bit end-of-block 0000000) -> byte0 = 0x02; the next
+    # block's header bits (non-final STORED = 000) plus its byte-align
+    # padding fill byte1 with zeros -> byte1 = 0x00; then LEN/NLEN/data.
+    import struct as _s
+
+    pieces = [body[i:i + 65535] for i in range(0, len(body), 65535)]
+    p0 = pieces[0]
+    payload = (b"\x02\x00"
+               + _s.pack("<HH", len(p0), ~len(p0) & 0xFFFF) + p0)
+    for piece in pieces[1:]:
+        payload += (b"\x00" + _s.pack("<HH", len(piece), ~len(piece) & 0xFFFF)
+                    + piece)
+    payload += b"\x01\x00\x00\xff\xff"  # final empty stored block
+    assert _z.decompressobj(-15).decompress(payload) == body
+    ds = dicom.dcmread(blob[:meta_end] + payload)
+    np.testing.assert_array_equal(ds.pixel_array, mammo16)
 
 
 def test_multiframe_roundtrip(tmp_path, mammo16, rng):
@@ -171,6 +211,24 @@ def test_multiframe_bot_fragment_grouping(mammo16):
     # BOT entry count mismatch -> raise
     with pytest.raises(codecs.CodecError):
         codecs.split_frames(raw, 3)
+
+
+def test_multiframe_dataset_ingestion(tmp_path, mammo16):
+    """The training data layer ingests multi-frame files as 2-D frame-0
+    images (raw_images must stay a stack of 2-D grayscale planes)."""
+    from cadx_tpu.data import dataset
+
+    p = os.path.join(tmp_path, "mf.dcm")
+    dicom.dcmwrite_minimal(p, np.stack([mammo16, mammo16 // 2]), "P9",
+                           transfer_syntax=dicom.TS_RLE)
+    csv_path = os.path.join(tmp_path, "map.csv")
+    with open(csv_path, "w") as f:
+        f.write("dicom_file_path,pathology\n")
+        f.write(f"{p},MALIGNANT\n")
+    ds = dataset.load_mapping_csv(csv_path, log=lambda s: None)
+    assert len(ds.raw_images) == 1
+    assert ds.raw_images[0].shape == mammo16.shape
+    np.testing.assert_array_equal(ds.raw_images[0], mammo16)
 
 
 def test_multiframe_serving_uses_first_frame(tmp_path, mammo16):

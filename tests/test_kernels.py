@@ -78,6 +78,47 @@ def test_mode_kernel_matches_xla(masks, rng):
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(ours))
 
 
+def test_row_runlen_exact(rng):
+    """kernels.mode._row_runlen == the true per-pixel horizontal run
+    length, including runs touching column 0 and runs preceded by a
+    barrier (the inclusive-cumsum segment puts the left barrier in the
+    run's segment — an early version over-counted those by one)."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cadx_tpu.kernels.mode import _row_runlen
+
+    m = np.asarray(rng.random((64, 128)) < 0.45)
+    m[0, :] = True            # full row
+    m[1, :] = False           # empty row
+    m[2, 1:4] = True; m[2, 0] = False   # run preceded by a barrier
+
+    def _kern(mask_ref, out_ref):
+        out_ref[0] = _row_runlen(mask_ref[0] != 0)
+
+    spec = pl.BlockSpec((1,) + m.shape, lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    got = np.asarray(pl.pallas_call(
+        _kern, out_shape=jax.ShapeDtypeStruct((1,) + m.shape, jnp.int32),
+        grid=(1,), in_specs=[spec], out_specs=spec, interpret=INTERPRET,
+    )(jnp.asarray(m)[None].astype(jnp.int32))[0])
+    ref = np.zeros_like(got)
+    for r in range(m.shape[0]):
+        c = 0
+        while c < m.shape[1]:
+            if m[r, c]:
+                e = c
+                while e + 1 < m.shape[1] and m[r, e + 1]:
+                    e += 1
+                ref[r, c:e + 1] = e - c + 1
+                c = e + 1
+            else:
+                c += 1
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_fused_largest_obj_matches_composition(masks, rng):
     """The fused CCL+mode+fill+opening kernel == composing the separate
     ops, for both phase orderings and both smoothing kernels."""
