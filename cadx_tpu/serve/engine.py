@@ -39,6 +39,11 @@ CLASS_MAP = {0: "Benign", 1: "Malignant", 2: "Normal"}
 class EngineConfig:
     segment_hw: tuple[int, int] = (512, 512)
     feature_resize: tuple[int, int] = (32, 32)
+    # Shard classify_batch over all visible devices (jax.sharding mesh,
+    # batch on the "data" axis, params replicated). No-op on one chip;
+    # on a pod slice the bulk endpoint fans out with zero code changes
+    # (SURVEY section 2.2's serving-scale DP story).
+    bulk_data_parallel: bool = True
     basic_classifier: cnn.CNNConfig = dataclasses.field(
         default_factory=lambda: cnn.CNNConfig(
             input_shape=(32, 32, 64), num_classes=2,
@@ -304,9 +309,33 @@ class InferenceEngine:
             pcfg = dataclasses.replace(
                 pcfg, feature_hw=self.config.advanced_classifier.input_shape[:2],
                 classifier=self.config.advanced_classifier)
-        out = fused.run_pipeline(params, jnp.asarray(images_u8), pcfg)
-        probs = np.asarray(out.probs)
-        preds = np.asarray(out.predicted)
+        arr = jnp.asarray(images_u8)
+        b = arr.shape[0]
+        mesh = self._bulk_mesh()
+        if mesh is not None and b > 1:
+            # mesh data-parallel fan-out: pad the batch to a multiple of
+            # the "data" axis (repeat the last image — trimmed below),
+            # run the replicated-params/sharded-batch program, trim
+            from cadx_tpu.parallel.data_parallel import make_dp_pipeline
+
+            n_data = mesh.shape["data"]
+            if not hasattr(self, "_dp_runners"):
+                self._dp_runners = {}
+            if pcfg not in self._dp_runners:
+                self._dp_runners[pcfg] = make_dp_pipeline(pcfg, mesh)
+            pad = (-b) % n_data
+            if pad:
+                arr = jnp.concatenate([arr, jnp.repeat(arr[-1:], pad, 0)])
+            out = self._dp_runners[pcfg](params, arr)
+            # observability hook (tests assert the fan-out engaged)
+            self.last_bulk_devices = len(out.probs.sharding.device_set)
+            probs = np.asarray(out.probs)[:b]
+            preds = np.asarray(out.predicted)[:b]
+        else:
+            out = fused.run_pipeline(params, arr, pcfg)
+            self.last_bulk_devices = 1
+            probs = np.asarray(out.probs)
+            preds = np.asarray(out.predicted)
         return [
             {
                 "sample": i + 1,
@@ -317,6 +346,19 @@ class InferenceEngine:
             }
             for i in range(len(preds))
         ]
+
+    def _bulk_mesh(self):
+        """All-device (data, model=1) mesh for bulk fan-out, or None when
+        disabled / single-device (the common one-chip serving case)."""
+        if not getattr(self.config, "bulk_data_parallel", True):
+            return None
+        if len(jax.devices()) < 2:
+            return None
+        if not hasattr(self, "_mesh"):
+            from cadx_tpu.parallel.mesh import make_mesh
+
+            self._mesh = make_mesh()
+        return self._mesh
 
     # ------------------------------------------------------------------
     # explainability artifacts

@@ -124,3 +124,34 @@ def test_graft_entry_single_and_multichip():
     np.testing.assert_allclose(np.asarray(out).sum(-1), 1.0, atol=1e-5)
 
     ge.dryrun_multichip(8)
+
+
+def test_bulk_classify_mesh_dp_matches_single(rng):
+    """serve engine classify_batch shards over the 8-device mesh
+    (EngineConfig.bulk_data_parallel) and matches the single-device
+    program on a non-divisible batch (exercises the pad-and-trim)."""
+    import dataclasses
+
+    from cadx_tpu.serve.engine import EngineConfig, InferenceEngine
+
+    cfg = EngineConfig(
+        segment_hw=(64, 64), feature_resize=(16, 16),
+        basic_classifier=cnn.CNNConfig(
+            input_shape=(16, 16, 64), num_classes=2,
+            conv_layers=((8, 3),), hidden_units=(32,), dropout_rate=0.0))
+    imgs = (rng.random((5, 64, 64)) * 255).astype(np.uint8)  # 5 % 8 != 0
+
+    eng_dp = InferenceEngine(cfg, seed=3)
+    rows_dp = eng_dp.classify_batch(imgs)
+    assert eng_dp.last_bulk_devices == len(jax.devices()) > 1
+
+    eng_1 = InferenceEngine(
+        dataclasses.replace(cfg, bulk_data_parallel=False), seed=3)
+    rows_1 = eng_1.classify_batch(imgs)
+    assert eng_1.last_bulk_devices == 1
+
+    assert len(rows_dp) == len(rows_1) == 5
+    for a, b in zip(rows_dp, rows_1):
+        assert a["predicted_class"] == b["predicted_class"]
+        np.testing.assert_allclose(a["prediction_probabilities"],
+                                   b["prediction_probabilities"], atol=1e-5)
