@@ -40,14 +40,15 @@ import jax
 import jax.numpy as jnp
 
 
-def _tunnel_preflight(attempts: int = 8, probe_timeout_s: int = 90,
-                      retry_sleep_s: int = 120) -> bool:
+def _tunnel_preflight(attempts: int = 6, probe_timeout_s: int = 60,
+                      retry_sleep_s: int = 90) -> bool:
     """The axon TPU tunnel can wedge so hard that jax.devices() blocks
     forever (observed r3: no local relay listening, every probe hangs).
     Probe it in a SUBPROCESS with a hard timeout — an in-process hang
-    could not be interrupted — retrying for ~15 min, so an outage
-    surfaces as an explicit failure JSON instead of an eternally
-    hanging benchmark run. Skipped when not targeting the tunnel."""
+    could not be interrupted — retrying for up to ~13.5 min worst case
+    (6 x 60s probes + 5 x 90s sleeps), so an outage surfaces as an
+    explicit failure JSON instead of an eternally hanging benchmark
+    run. Skipped when not targeting the tunnel."""
     import os
 
     if os.environ.get("JAX_PLATFORMS", "axon") != "axon":
@@ -284,7 +285,14 @@ def main():
         fs = resize_linear(feats, eng.config.feature_resize)
         probs = cnn.forward(eng.basic_params, fs[None], cfg_b)[0]
         cls = jnp.argmax(probs)
-        cam = gradcam_map(eng.basic_params, fs, 0, cfg_b)
+        # PREDICTED-class CAM (traced index), matching what /classify
+        # explains; fused into the one program. The HTTP route itself
+        # runs segment / predict / CAM as separate dispatches with host
+        # round trips between (engine.py _classify_prepped fetches the
+        # argmax before seeding the CAM), so route wall time adds 1-2
+        # tunnel RTTs on top of these numbers — this block measures the
+        # single-program serving path a production engine compiles.
+        cam = gradcam_map(eng.basic_params, fs, cls, cfg_b)
         return probs.sum() + cam.sum() + cls
 
     p50_512, p95_512, p99_512 = _latency_ms(lambda: serve_one(img512), n=30)
@@ -312,7 +320,10 @@ def main():
         "single_image_ms": {"p50": round(p50_1, 2), "p95": round(p95_1, 2),
                             "p99": round(p99_1, 2)},
         "serve_512": {
-            "metric": "single-image 512x512 serving path (clean->512->encoder->classify->CAM)",
+            "metric": ("single-image 512x512 serving path, fused one-program"
+                       " form (clean->512->encoder->classify->predicted-class"
+                       " CAM); the HTTP route's separate dispatches add 1-2"
+                       " host RTTs on top"),
             "p50_ms": round(p50_512, 2),
             "p95_ms": round(p95_512, 2),
             "p99_ms": round(p99_512, 2),

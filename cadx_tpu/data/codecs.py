@@ -492,6 +492,16 @@ def jpeg_lossless_decode(data: bytes) -> tuple[np.ndarray, int]:
         raise CodecError(f"huffman table {table_id} missing")
     if not 1 <= predictor <= 7:
         raise CodecError(f"bad predictor selection {predictor}")
+    if not 2 <= precision <= 16:
+        # T.81 B.2.2 lossless allows P in [2, 16]; a hostile byte of 0
+        # (or anything out of range) must fail loudly — the default
+        # predictor 1 << (P - 1 - Al) would otherwise be a negative
+        # shift (raw ValueError here, undefined behavior in C)
+        raise CodecError(f"bad SOF3 precision {precision}")
+    if point_transform >= precision:
+        # T.81 B.2.3: Al must leave at least one magnitude bit
+        raise CodecError(
+            f"point transform {point_transform} >= precision {precision}")
 
     if rows * cols > 1 << 28:
         # corrupt/hostile SOF3 dims would otherwise drive a huge

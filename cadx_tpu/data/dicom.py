@@ -153,7 +153,7 @@ class DicomFile:
             decoded = []
             for frame in frames:
                 if self.transfer_syntax == TS_RLE:
-                    decoded.append(codecs.rle_decode(frame, rows, cols, bits))
+                    decoded.append(_rle_pixels(frame, rows, cols, bits))
                 else:
                     decoded.append(_jpeg_lossless_pixels(frame, rows, cols))
         except (codecs.CodecError, IndexError, struct.error) as e:
@@ -241,6 +241,24 @@ def _read_element(buf: memoryview, off: int, explicit: bool, bo: str = "<"):
         return (group, elem), b"", end
     value = bytes(buf[off : off + length])
     return (group, elem), value, off + length
+
+
+def _rle_pixels(frame: bytes, rows: int, cols: int, bits: int) -> np.ndarray:
+    """Decode a DICOM RLE frame, preferring the native (C++) decoder —
+    the pure-Python PackBits loop is per-byte and costs seconds on a
+    full-resolution 16-bit mammogram; the codecs path stays the
+    bit-identical fallback (and the parity oracle)."""
+    try:
+        from cadx_tpu.data import native_loader
+
+        arr = native_loader.decode_rle(frame, rows, cols, bits)
+        if arr is not None:
+            return arr
+    except Exception:
+        pass  # toolchain missing or native decode failed: python fallback
+    from cadx_tpu.data import codecs
+
+    return codecs.rle_decode(frame, rows, cols, bits)
 
 
 def _jpeg_lossless_pixels(frame: bytes, rows: int, cols: int) -> np.ndarray:

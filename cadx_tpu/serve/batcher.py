@@ -94,6 +94,8 @@ class MicroBatcher:
     def classify(self, features: np.ndarray) -> dict:
         """Blocking per-request entry; result dict matches
         InferenceEngine.classify's schema."""
+        if self._stop:
+            raise RuntimeError("MicroBatcher is closed")
         fut: Future = Future()
         self._q.put((np.asarray(features, np.float32), fut))
         return fut.result()
@@ -101,6 +103,16 @@ class MicroBatcher:
     def close(self) -> None:
         self._stop = True
         self._worker.join(timeout=2.0)
+        # fail queued (and racing post-close) requests instead of leaving
+        # their futures unresolved — fut.result() has no timeout, so an
+        # abandoned future would block its request thread forever
+        while True:
+            try:
+                _, fut = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("MicroBatcher closed"))
 
     # ------------------------------------------------------------------
     def _run(self) -> None:
@@ -122,11 +134,32 @@ class MicroBatcher:
             self._flush(batch)
 
     def _flush(self, batch) -> None:
+        """Per-request isolation: a malformed request must not poison its
+        co-batched neighbours. Requests are converted individually (a bad
+        payload fails only its own future), grouped by feature shape
+        (individually-valid requests may differ in shape — each shape
+        group runs as its own padded program), and a group-program failure
+        retries its members one-by-one so only the true offender errors."""
+        by_shape: dict[tuple, list] = {}
+        for f, fut in batch:
+            try:
+                hwc = self._to_hwc(f)
+                if hwc.ndim != 3:
+                    raise ValueError(
+                        f"features must be rank-3 (HWC), got shape {f.shape}")
+            except Exception as e:  # noqa: BLE001 — this request only
+                if not fut.done():
+                    fut.set_exception(e)
+                continue
+            by_shape.setdefault(hwc.shape, []).append((hwc, fut))
+        for items in by_shape.values():
+            self._flush_group(items)
+
+    def _flush_group(self, items) -> None:
         try:
-            feats = [self._to_hwc(f) for f, _ in batch]
-            b = len(feats)
-            x = np.zeros((self.max_batch,) + feats[0].shape, np.float32)
-            for i, f in enumerate(feats):
+            b = len(items)
+            x = np.zeros((self.max_batch,) + items[0][0].shape, np.float32)
+            for i, (f, _) in enumerate(items):
                 x[i] = f
             probs, pred, cam = _batched_classify(
                 self._params, jnp.asarray(x), self._config, self._fh, self._fw)
@@ -135,7 +168,7 @@ class MicroBatcher:
             cam = np.asarray(cam)[:b]
             self.n_flushes += 1
             self.n_samples += b
-            for i, (_, fut) in enumerate(batch):
+            for i, (_, fut) in enumerate(items):
                 cls_idx = int(pred[i])
                 fut.set_result({
                     "prediction_probabilities": probs[i].tolist(),
@@ -147,7 +180,11 @@ class MicroBatcher:
                     "explainability": 0.5,
                     "roiCoords": roi_coords_dict(cam[i]),
                 })
-        except Exception as e:  # noqa: BLE001 — propagate to every waiter
-            for _, fut in batch:
+        except Exception as e:  # noqa: BLE001
+            if len(items) > 1:  # isolate the offender, keep the rest
+                for item in items:
+                    self._flush_group([item])
+            else:
+                _, fut = items[0]
                 if not fut.done():
                     fut.set_exception(e)

@@ -274,7 +274,7 @@ class InferenceEngine:
 
         if not hasattr(self, "_batchers"):
             self._batchers = {}
-        key = (pipeline, max_batch)
+        key = (pipeline, max_batch, max_wait_ms)
         if key not in self._batchers:
             self._batchers[key] = MicroBatcher(
                 self, pipeline, max_batch=max_batch, max_wait_ms=max_wait_ms)

@@ -41,18 +41,25 @@ def summarize(trace_dir: str, top: int = 25) -> list[tuple[str, float, int]]:
             continue
         tot[e["name"]] += e.get("dur", 0)
         cnt[e["name"]] += 1
-    return [(name, us / 1000.0, cnt[name]) for name, us in tot.most_common(top)]
+    total_ms = sum(tot.values()) / 1000.0
+    return ([(name, us / 1000.0, cnt[name]) for name, us in tot.most_common(top)],
+            total_ms)
 
 
 def main(argv: list[str]) -> int:
     if len(argv) != 2:
         print(__doc__)
         return 2
-    rows = summarize(argv[1])
-    total = sum(ms for _, ms, _ in rows)
+    rows, total = summarize(argv[1])
+    # percent of TOTAL device time (all programs), not of the top-N sum —
+    # else every row's share is overstated when the tail is long
+    shown = sum(ms for _, ms, _ in rows)
     print(f"{'device ms':>10}  {'%':>5}  {'count':>5}  program")
     for name, ms, n in rows:
         print(f"{ms:10.2f}  {100 * ms / max(total, 1e-9):5.1f}  {n:5d}  {name[:90]}")
+    if total > shown:
+        print(f"{total - shown:10.2f}  {100 * (total - shown) / total:5.1f}  "
+              f"{'':>5}  (other programs below top-{len(rows)})")
     return 0
 
 

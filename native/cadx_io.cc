@@ -370,6 +370,10 @@ bool jpeg_lossless_decode(const uint8_t* data, size_t n, int expect_rows,
   }
   if (!scan_off || !rows || !cols || !tabs[table_id].set) return false;
   if (predictor < 1 || predictor > 7) return false;
+  // T.81 B.2.2/B.2.3: lossless P in [2,16], Al < P — out-of-range values
+  // would make `1 << (precision - 1 - pt)` a negative-count shift (UB,
+  // silent wrong pixels on x86)
+  if (precision < 2 || precision > 16 || pt >= precision) return false;
   if (expect_rows && (rows != expect_rows || cols != expect_cols)) return false;
 
   HTab& t = tabs[table_id];

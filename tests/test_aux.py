@@ -218,5 +218,10 @@ def test_trace_summary_tool(tmp_path):
     p.mkdir(parents=True)
     with gzip.open(p / "vm.trace.json.gz", "wt") as f:
         json.dump(d, f)
-    rows = trace_summary.summarize(str(tmp_path))
+    rows, total = trace_summary.summarize(str(tmp_path))
     assert rows == [("progA", 1.5, 2), ("progB", 0.7, 1)]
+    assert total == 2.2  # ALL device time, the top-N percent denominator
+
+    rows_top1, total_top1 = trace_summary.summarize(str(tmp_path), top=1)
+    assert rows_top1 == [("progA", 1.5, 2)]
+    assert total_top1 == 2.2  # total unchanged by truncation

@@ -94,3 +94,68 @@ def test_worker_error_propagates(engine):
     batcher = engine.dynamic_batcher("basic", max_batch=4, max_wait_ms=1.0)
     with pytest.raises(Exception):
         batcher.classify(np.zeros((3, 3), np.float32))  # wrong rank
+
+
+def test_poisoned_request_does_not_poison_cobatched(engine, rng):
+    """A malformed request failing mid-flush must fail ONLY its own
+    future; co-batched valid requests still get results. Also covers
+    mixed-shape batches: individually-valid requests of different
+    spatial sizes run as separate shape groups in one flush."""
+    batcher = engine.dynamic_batcher("basic", max_batch=8, max_wait_ms=40.0)
+    good32 = _features(rng, 1)[0]
+    good48 = _features(rng, 1, hw=48)[0]
+    bad = np.zeros((5,), np.float32)  # rank-1: cannot be HWC features
+
+    batcher.classify(good32)  # compile before the timed window
+    results, errors = {}, {}
+    barrier = threading.Barrier(3)
+
+    def call(name, f):
+        barrier.wait()
+        try:
+            results[name] = batcher.classify(f)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = e
+
+    ts = [threading.Thread(target=call, args=a) for a in
+          [("good32", good32), ("good48", good48), ("bad", bad)]]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert set(errors) == {"bad"}
+    assert set(results) == {"good32", "good48"}
+    want = engine.classify(good48, "basic")
+    np.testing.assert_allclose(results["good48"]["prediction_probabilities"],
+                               want["prediction_probabilities"],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_close_drains_pending_and_rejects_new(engine, rng):
+    """close() must resolve queued futures (RuntimeError), never leave a
+    request thread blocked forever, and later classify() raises."""
+    from cadx_tpu.serve.batcher import MicroBatcher
+
+    b = MicroBatcher(engine, "basic", max_batch=4, max_wait_ms=1.0)
+    b._stop = True            # stop the worker loop draining the queue
+    b._worker.join(timeout=5)
+
+    outcome = {}
+
+    def call():
+        try:
+            outcome["r"] = b.classify(
+                _features(np.random.default_rng(0), 1)[0])
+        except RuntimeError as e:
+            outcome["e"] = str(e)
+
+    # enqueue directly (classify() itself now rejects post-stop)
+    from concurrent.futures import Future
+    fut = Future()
+    b._q.put((_features(np.random.default_rng(1), 1)[0], fut))
+    b.close()
+    assert isinstance(fut.exception(timeout=5), RuntimeError)
+
+    t = threading.Thread(target=call)
+    t.start(); t.join(timeout=10)
+    assert "e" in outcome and "closed" in outcome["e"]

@@ -358,3 +358,31 @@ def test_truncated_compressed_raises(tmp_path, mammo16):
     raw = open(p, "rb").read()
     with pytest.raises(dicom.DicomError):
         dicom.dcmread(raw[: len(raw) - 40])  # cut mid-scan: unterminated
+
+
+def test_jpeg_lossless_rejects_bad_precision_and_point_transform(tmp_path,
+                                                                 mammo16):
+    """Hostile SOF3 precision / SOS point-transform bytes must raise
+    (CodecError -> DicomError), never silently mis-decode: the default
+    predictor 1 << (P - 1 - Al) is a negative shift when Al >= P (raw
+    ValueError in Python, undefined behavior in the C++ fast path)."""
+    p = os.path.join(tmp_path, "j.dcm")
+    # 8-bit image -> SOF3 precision 8, so Al=15 >= P is the hostile case
+    dicom.dcmwrite_minimal(p, (mammo16 >> 8).astype(np.uint8),
+                           transfer_syntax=dicom.TS_JPEG_LOSSLESS_SV1)
+    blob = bytearray(open(p, "rb").read())
+
+    sos = bytes(blob).index(b"\xff\xda")
+    # SOS layout: marker(2) len(2) ns(1) [cid tbl](2) Ss(1) Se(1) AhAl(1)
+    al_off = sos + 9
+    tampered = bytearray(blob)
+    tampered[al_off] = 0x0F  # Al=15 with precision 8
+    with pytest.raises(dicom.DicomError):
+        dicom.dcmread(bytes(tampered)).pixel_array
+
+    sof = bytes(blob).index(b"\xff\xc3")
+    for bad_p in (0, 1, 17):  # T.81 B.2.2: lossless P must be in [2,16]
+        tampered = bytearray(blob)
+        tampered[sof + 4] = bad_p
+        with pytest.raises(dicom.DicomError):
+            dicom.dcmread(bytes(tampered)).pixel_array
