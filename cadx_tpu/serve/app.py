@@ -159,7 +159,13 @@ class CADxApp:
             f"{os.path.splitext(filename)[0]}_processed.npy")
         np.save(processed_path, img)
 
-        image_masks, clean_image = self.engine.process_single_image(img)
+        masks_path = os.path.join(
+            self.ws.folder("segmentation"),
+            f"{os.path.splitext(filename)[0]}_all_masks.npy")
+        # cache_token keeps the feature stack device-resident so the
+        # later /classify and /roi skip re-uploading it (engine.py)
+        image_masks, clean_image = self.engine.process_single_image(
+            img, cache_token=masks_path)
 
         # clean image is always written as PNG (the upload may be a DICOM,
         # which cv2 cannot encode)
@@ -171,10 +177,12 @@ class CADxApp:
         self.ws.submit("save_masks", save_masks, image_masks, filename,
                        self.ws.folder("segmentation"))
 
-        masks_path = os.path.join(
-            self.ws.folder("segmentation"),
-            f"{os.path.splitext(filename)[0]}_all_masks.npy")
         np.save(masks_path, image_masks)
+        # rebind the cache to the content token (path, mtime) now that
+        # the artifact exists — _load_features derives the same token,
+        # so an out-of-band rewrite of the .npy misses and re-uploads
+        self.engine.finalize_feature_token(
+            masks_path, (masks_path, os.path.getmtime(masks_path)))
 
         self.ws.write_case({
             "dicom_file_path": raw_path,
@@ -337,22 +345,29 @@ class CADxApp:
 
     # ---------------- classify / roi (app.py:492-764) ----------------
     def _load_features(self):
+        """-> (features, cache_token, err). The token (path, mtime)
+        matches the one upload_single registered with the engine, so the
+        device-resident copy is used when the artifact is unchanged."""
         npy = [f for f in os.listdir(self.ws.folder("segmentation"))
                if f.endswith(".npy")]
         if len(npy) == 0:
-            return None, {"error": "No .npy file found in segmentation folder",
-                          "status": 404}
+            return None, None, {
+                "error": "No .npy file found in segmentation folder",
+                "status": 404}
         if len(npy) > 1:
-            return None, {"error": "More than one .npy file found in segmentation folder",
-                          "status": 400}
-        return np.load(os.path.join(self.ws.folder("segmentation"), npy[0])), None
+            return None, None, {
+                "error": "More than one .npy file found in segmentation folder",
+                "status": 400}
+        path = os.path.join(self.ws.folder("segmentation"), npy[0])
+        token = (path, os.path.getmtime(path))
+        return np.load(path), token, None
 
     @_locked
     def classify(self, pipeline: str = "basic") -> dict:
-        features, err = self._load_features()
+        features, token, err = self._load_features()
         if err:
             return err
-        result = self.engine.classify(features, pipeline)
+        result = self.engine.classify(features, pipeline, cache_token=token)
         result["sample"] = 1
 
         # async Grad-CAM artifacts, tracked (reference thread at app.py:649)
@@ -373,16 +388,17 @@ class CADxApp:
         (xai/roi.py) — real, image-dependent rectangles. The reference
         hardcodes one rectangle for every image (app.py:714); pass
         reference_parity=True to reproduce that constant."""
-        features, err = self._load_features()
+        features, token, err = self._load_features()
         if err:
             return err
         if reference_parity:
-            base = self.engine.classify(features, pipeline)
+            base = self.engine.classify(features, pipeline, cache_token=token)
             coords = [{"top": 0.20, "left": 0.30,
                        "width": 0.20, "height": 0.175}] * 2
         else:
             # one shared feature-prep + forward for both payload halves
-            base, coords = self.engine.classify_and_roi(features, pipeline)
+            base, coords = self.engine.classify_and_roi(
+                features, pipeline, cache_token=token)
         self.ws.wait("gradcam")  # overlays ready before the viewer reads them
         results = []
         for class_idx in range(2):

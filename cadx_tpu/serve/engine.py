@@ -122,15 +122,41 @@ class InferenceEngine:
     # ------------------------------------------------------------------
     # segmentation (upload-single path)
     # ------------------------------------------------------------------
-    def process_single_image(self, img: np.ndarray):
+    def process_single_image(self, img: np.ndarray, cache_token=None):
         """Reference unet_process_single_image (app.py:96-150): cleaner ->
         512x512 gray -> encoder conv1 features.
 
         Returns (image_masks CHW (64, 256, 256) float32, clean_image uint8).
-        """
+
+        cache_token: any hashable uniquely identifying THIS image's
+        artifacts (the app uses (masks_path, mtime)). The device-resident
+        feature array is kept under the token so a later classify/roi
+        with the same token skips the host->device re-upload of the
+        ~16MB feature stack (~130ms over this tunnel per request)."""
         x = jnp.asarray(img)
         feats, clean_u8 = self._segment_jit(x)
+        if cache_token is not None:
+            self._device_feats = (cache_token, feats)
         return np.asarray(feats), np.asarray(clean_u8)
+
+    def finalize_feature_token(self, provisional, final) -> None:
+        """Rebind the cached features from a provisional token (known
+        before the artifact write) to the final content token (e.g.
+        (path, mtime), known only after). No-op on mismatch."""
+        cached = getattr(self, "_device_feats", None)
+        if cached is not None and cached[0] == provisional:
+            self._device_feats = (final, cached[1])
+
+    def _cached_device_features(self, features, cache_token):
+        """The device copy of `features` if it is the array produced
+        under `cache_token`, else None. Trusts the token — callers must
+        derive it from content identity (path + mtime), so a rewritten
+        artifact misses the cache and re-uploads."""
+        cached = getattr(self, "_device_feats", None)
+        if cache_token is None or cached is None or cached[0] != cache_token:
+            return None
+        dev = cached[1]
+        return dev if tuple(dev.shape) == tuple(np.shape(features)) else None
 
     @functools.cached_property
     def _segment_jit(self):
@@ -168,8 +194,22 @@ class InferenceEngine:
         out = resize_linear(jnp.asarray(f), self.config.feature_resize)
         return np.asarray(out)
 
-    def _prep_classifier_input(self, features: np.ndarray, pipeline: str):
-        """Features -> (classifier input, params, config) for a pipeline."""
+    def _prep_classifier_input(self, features: np.ndarray, pipeline: str,
+                               cache_token=None):
+        """Features -> (classifier input, params, config) for a pipeline.
+        A cache_token hit keeps the whole prep on device (same ops, no
+        host round trip — the resize is the same resize_linear either
+        way, so results are identical)."""
+        dev = self._cached_device_features(features, cache_token)
+        if dev is not None:
+            f = dev.astype(jnp.float32)
+            if f.ndim == 3 and ((f.shape[0] == 64 and f.shape[-1] != 64)
+                                or f.shape[0] < f.shape[2]):
+                f = jnp.transpose(f, (1, 2, 0))  # CHW -> HWC (_to_hwc)
+            if pipeline == "basic":
+                return (resize_linear(f, self.config.feature_resize),
+                        self.basic_params, self.config.basic_classifier)
+            return f, self.advanced_params, self.config.advanced_classifier
         if pipeline == "basic":
             feats_in = jnp.asarray(self.process_bottleneck_features(features))
             return feats_in, self.basic_params, self.config.basic_classifier
@@ -189,14 +229,16 @@ class InferenceEngine:
         return [roi_coords_dict(gradcam_map(params, feats_in, ci, cfg))
                 for ci in class_indices]
 
-    def classify(self, features: np.ndarray, pipeline: str = "basic") -> dict:
+    def classify(self, features: np.ndarray, pipeline: str = "basic",
+                 cache_token=None) -> dict:
         """One sample -> result dict shaped like the reference's results
         rows (app.py:555-564 / :597-606)."""
-        feats_in, params, cfg = self._prep_classifier_input(features, pipeline)
+        feats_in, params, cfg = self._prep_classifier_input(
+            features, pipeline, cache_token)
         return self._classify_prepped(feats_in, params, cfg, pipeline)
 
     def classify_and_roi(self, features: np.ndarray, pipeline: str = "basic",
-                         class_indices=(0, 1)):
+                         class_indices=(0, 1), cache_token=None):
         """classify + per-class CAM roiCoords sharing ONE feature prep and
         forward (the /roi route needs both; calling classify and
         roi_coords_per_class separately re-ran process_bottleneck_features
@@ -204,7 +246,8 @@ class InferenceEngine:
         from cadx_tpu.xai.gradcam import gradcam_map
         from cadx_tpu.xai.roi import roi_coords_dict
 
-        feats_in, params, cfg = self._prep_classifier_input(features, pipeline)
+        feats_in, params, cfg = self._prep_classifier_input(
+            features, pipeline, cache_token)
         result = self._classify_prepped(feats_in, params, cfg, pipeline)
         coords = [roi_coords_dict(gradcam_map(params, feats_in, ci, cfg))
                   for ci in class_indices]

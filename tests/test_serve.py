@@ -499,3 +499,40 @@ def test_review_fixes_regressions(server, tmp_path):
     second = open(_os.path.join(srv.app.ws.folder("explainability"),
                                 "gradcam_overlay_class_0.png"), "rb").read()
     assert first != second  # no stale artifacts for the new patient
+
+
+def test_device_feature_cache_matches_host_path():
+    """The device-resident feature cache (upload -> classify/roi without
+    re-uploading the stack) returns the same results as the host .npy
+    path, and misses on token/shape mismatch."""
+    eng = _small_engine()
+    rng = np.random.default_rng(7)
+    img = (rng.random((96, 80)) * 255).astype(np.uint8)
+
+    feats, _clean = eng.process_single_image(img, cache_token="prov")
+    eng.finalize_feature_token("prov", ("p", 1.0))
+
+    assert eng._cached_device_features(feats, ("p", 1.0)) is not None
+    assert eng._cached_device_features(feats, ("p", 2.0)) is None  # stale
+    assert eng._cached_device_features(feats, None) is None
+    assert eng._cached_device_features(feats[:, :4, :4], ("p", 1.0)) is None
+
+    for pipeline in ("basic", "advanced"):
+        hot = eng.classify(feats, pipeline, cache_token=("p", 1.0))
+        cold = eng.classify(feats, pipeline)
+        assert hot["predicted_class"] == cold["predicted_class"]
+        np.testing.assert_allclose(hot["prediction_probabilities"],
+                                   cold["prediction_probabilities"],
+                                   rtol=1e-5, atol=1e-6)
+        for k in ("top", "left", "width", "height"):
+            assert abs(hot["roiCoords"][k] - cold["roiCoords"][k]) < 1e-3
+
+    hot, coords = eng.classify_and_roi(feats, "basic",
+                                       cache_token=("p", 1.0))
+    cold, coords2 = eng.classify_and_roi(feats, "basic")
+    np.testing.assert_allclose(hot["prediction_probabilities"],
+                               cold["prediction_probabilities"],
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(coords, coords2):
+        for k in ("top", "left", "width", "height"):
+            assert abs(a[k] - b[k]) < 1e-3
