@@ -243,6 +243,32 @@ def main():
         "explain_residual_ms": round(per_batch_ms - enc_cls_ms, 2),
     }
 
+    if os.environ.get("CADX_BENCH_STAGE_DETAIL"):
+        # finer split INSIDE the clean chain (each program still carries
+        # ~floor_ms dispatch cost; compare increments, not absolutes)
+        @jax.jit
+        def _suppress(x):
+            def one(im):
+                s, m = cleaner.suppress_artifacts(cleaner.to_uint8(im), 0.05, 15)
+                return s.astype(jnp.float32).sum() + m.sum()
+            return jax.vmap(one)(x).sum()
+
+        @jax.jit
+        def _suppress_segment(x):
+            def one(im):
+                s, m = cleaner.suppress_artifacts(cleaner.to_uint8(im), 0.05, 15)
+                b, _ = cleaner.segment_breast_mask(s, 0.05)
+                return b.astype(jnp.float32).sum() + m.sum()
+            return jax.vmap(one)(x).sum()
+
+        sup_ms, _ = _median_pass_ms(lambda: _suppress(x))
+        supseg_ms, _ = _median_pass_ms(lambda: _suppress_segment(x))
+        stage["clean_detail"] = {
+            "suppress_ms": round(sup_ms, 2),
+            "segment_increment_ms": round(supseg_ms - sup_ms, 2),
+            "pectoral_increment_ms": round(clean_ms - supseg_ms, 2),
+        }
+
     # ---- single-image latency (256 fused path) -----------------------
     x1 = jax.device_put(jnp.asarray(host_batch[:1]))
     p50_1, p95_1, p99_1 = _latency_ms(
