@@ -211,7 +211,12 @@ class InferenceEngine:
                         self.basic_params, self.config.basic_classifier)
             return f, self.advanced_params, self.config.advanced_classifier
         if pipeline == "basic":
-            feats_in = jnp.asarray(self.process_bottleneck_features(features))
+            # same ops as process_bottleneck_features but WITHOUT its
+            # device->host->device round trip (that public method keeps
+            # the reference's numpy-in/numpy-out contract; here the
+            # resized features feed straight into the device forward)
+            f = self._to_hwc(np.asarray(features, np.float32))
+            feats_in = resize_linear(jnp.asarray(f), self.config.feature_resize)
             return feats_in, self.basic_params, self.config.basic_classifier
         feats_in = jnp.asarray(self._to_hwc(np.asarray(features, np.float32)))
         return feats_in, self.advanced_params, self.config.advanced_classifier
