@@ -658,8 +658,12 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(workspace_root: str, host: str = "127.0.0.1", port: int = 0,
-                engine: InferenceEngine | None = None) -> ThreadingHTTPServer:
+                engine: InferenceEngine | None = None,
+                warmup: bool = False) -> ThreadingHTTPServer:
     app = CADxApp(workspace_root, engine)
+    if warmup:
+        # pay every serving-program compile now, not on the first patient
+        app.engine.warmup()
     handler = type("BoundHandler", (_Handler,), {"app": app})
     server = ThreadingHTTPServer((host, port), handler)
     server.app = app
@@ -673,8 +677,11 @@ def main():  # pragma: no cover
     ap.add_argument("--workspace", default="./cadx_workspace")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=5000)
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip compiling the serving programs at startup")
     args = ap.parse_args()
-    server = make_server(args.workspace, args.host, args.port)
+    server = make_server(args.workspace, args.host, args.port,
+                         warmup=not args.no_warmup)
     print(f"cadx_tpu serving on http://{args.host}:{args.port}")
     server.serve_forever()
 

@@ -395,6 +395,19 @@ class InferenceEngine:
             for i in range(len(preds))
         ]
 
+    def warmup(self) -> None:
+        """Compile + execute every serving program on dummy inputs so the
+        first real request pays no compile (remote compiles on this
+        runtime cost 20-300s; the persistent compile cache makes warmup
+        after a restart near-instant). Covers segment, both classifier
+        forwards, the CAM/ROI tails, and the micro-batcher program."""
+        h, w = self.config.segment_hw
+        feats, _clean = self.process_single_image(
+            np.zeros((h, w), np.uint8))
+        for pipeline in ("basic", "advanced"):
+            self.classify_and_roi(feats, pipeline)
+            self.dynamic_batcher(pipeline).classify(feats)
+
     def _bulk_mesh(self):
         """All-device (data, model=1) mesh for bulk fan-out, or None when
         disabled / single-device (the common one-chip serving case)."""

@@ -536,3 +536,18 @@ def test_device_feature_cache_matches_host_path():
     for a, b in zip(coords, coords2):
         for k in ("top", "left", "width", "height"):
             assert abs(a[k] - b[k]) < 1e-3
+
+
+def test_engine_warmup_compiles_all_serving_programs():
+    """warmup() runs every serving program end-to-end on dummy inputs
+    (segment, both classifier forwards + CAM/ROI, micro-batcher) so a
+    warmed server's first request pays no compile."""
+    eng = _small_engine()
+    eng.warmup()
+    # every cached jit exists and a real request works immediately
+    assert eng._segment_jit is not None
+    feats, _ = eng.process_single_image(
+        (np.random.default_rng(0).random((64, 64)) * 255).astype(np.uint8))
+    out = eng.classify(feats, "basic")
+    assert out["predicted_class"] in ("Benign", "Malignant")
+    assert eng.dynamic_batcher("basic").n_samples >= 1  # batcher warmed
