@@ -176,21 +176,40 @@ def reference_softmax(z: jax.Array) -> jax.Array:
 _dot = functools.partial(jnp.dot, precision=jax.lax.Precision.HIGHEST)
 
 
-def conv_stack(params: dict, x: jax.Array, config: CNNConfig) -> jax.Array:
+def conv_stack(params: dict, x: jax.Array, config: CNNConfig, *,
+               compute_dtype=None) -> jax.Array:
     """The conv+pool feature stack -> (B, h, w, F) activations.
 
     Shared by apply() and the Grad-CAM split forward (xai.gradcam) so the
     CAM is always computed on the same network predict() uses. SAME
     padding is true same (k//2) for odd kernels — identical to the torch
     advanced model's padding=1 at its k=3.
-    """
+
+    compute_dtype (e.g. jnp.bfloat16): opt-in mixed precision for the
+    conv MXU work — inputs/kernels cast down, accumulation stays f32
+    (preferred_element_type), single-pass MXU instead of the f32-faithful
+    HIGHEST passes. Params and the head remain f32; prediction parity is
+    tolerance-level (~1e-3), so this is for the training fast path, never
+    the parity-contracted default."""
     alpha = config.leaky_alpha
     out = x
+    precision = None
+    if compute_dtype is not None:
+        out = out.astype(compute_dtype)
+        from jax import lax as _lax
+
+        precision = _lax.Precision.DEFAULT
     for layer in params["conv"]:
-        k = layer["kernel"].shape[0]
+        kernel = layer["kernel"]
+        if compute_dtype is not None:
+            kernel = kernel.astype(compute_dtype)
+        k = kernel.shape[0]
         padding = "VALID" if config.conv_padding == "VALID" else k // 2
-        out = leaky_relu(conv2d(out, layer["kernel"], layer["bias"], padding=padding), alpha)
+        out = leaky_relu(conv2d(out, kernel, layer["bias"], padding=padding,
+                                precision=precision), alpha)
         out = max_pool_ties(out, 2)
+        if compute_dtype is not None:
+            out = out.astype(compute_dtype)
     return out
 
 
@@ -217,6 +236,7 @@ def apply(
     *,
     training: bool = False,
     rng: jax.Array | None = None,
+    compute_dtype=None,
 ) -> jax.Array:
     """Batched forward pass -> logits. x: (B, H, W, C) float32.
 
@@ -224,8 +244,11 @@ def apply(
     sample loop replaced by batching: conv+LeakyReLU, tie-semantics max
     pool, flatten (row-major H,W,C like NumPy .flatten()), dense+LeakyReLU
     with inverted dropout, then the output layer's pre-softmax logits.
+    compute_dtype: see conv_stack (opt-in bf16 conv compute; head f32).
     """
-    feats = conv_stack(params, x, config)
+    feats = conv_stack(params, x, config, compute_dtype=compute_dtype)
+    if compute_dtype is not None:
+        feats = feats.astype(jnp.float32)
     return head_logits(params, feats, config, training=training, rng=rng)
 
 

@@ -25,6 +25,7 @@ def conv2d(
     *,
     padding: Literal["VALID", "SAME"] | int = "VALID",
     stride: int = 1,
+    precision=None,
 ) -> jax.Array:
     """2D convolution. x: (B,H,W,C), kernel: (kh,kw,C,F), bias: (F,)."""
     if isinstance(padding, int):
@@ -37,13 +38,21 @@ def conv2d(
         window_strides=(stride, stride),
         padding=pad,
         dimension_numbers=_DIMS,
-        preferred_element_type=jnp.float32,
-        # HIGHEST keeps TPU MXU results f32-faithful (default bf16 passes
-        # drift ~3e-3 vs the reference's float64 oracle); these classifier
-        # convs are tiny, so the bit-faithfulness contract wins the gate.
-        # The throughput-critical encoder uses conv2d_strided (default
-        # precision) instead.
-        precision=lax.Precision.HIGHEST,
+        # In reduced-precision mode the accumulator type must match the
+        # operand dtype: an f32 preferred_element_type over bf16 operands
+        # makes the conv TRANSPOSE pair an f32 cotangent with the bf16
+        # kernel (dtype error). The MXU still accumulates f32 internally
+        # either way; this only selects the rounding of the result.
+        preferred_element_type=(jnp.float32 if x.dtype == jnp.float32
+                                else x.dtype),
+        # HIGHEST (the default here) keeps TPU MXU results f32-faithful
+        # (default bf16 passes drift ~3e-3 vs the reference's float64
+        # oracle); these classifier convs are tiny, so the
+        # bit-faithfulness contract wins the gate. The throughput-
+        # critical encoder uses conv2d_strided (default precision), and
+        # the opt-in bf16 training mode (cnn.conv_stack compute_dtype)
+        # passes DEFAULT explicitly for single-pass MXU throughput.
+        precision=lax.Precision.HIGHEST if precision is None else precision,
     )
     if bias is not None:
         out = out + bias

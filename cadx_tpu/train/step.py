@@ -31,41 +31,50 @@ from cadx_tpu.models import cnn
 from cadx_tpu.train import optim
 
 
-def masked_loss_fn(params, x, y_onehot, mask, config, *, training, rng):
+def masked_loss_fn(params, x, y_onehot, mask, config, *, training, rng,
+                   compute_dtype=None):
     """Cross-entropy averaged over real (mask=1) samples only.
 
     Padding the final partial batch to a static shape keeps XLA from
     recompiling; masking reproduces the reference's average over the
     actual sample count (Classes/CNNModel.py:459-464).
+    compute_dtype: opt-in bf16 conv compute (cnn.conv_stack) — the
+    training fast path; defaults keep the f32-faithful parity contract.
     """
-    logits = cnn.apply(params, x, config, training=training, rng=rng)
+    logits = cnn.apply(params, x, config, training=training, rng=rng,
+                       compute_dtype=compute_dtype)
     logp = jax.nn.log_softmax(logits, axis=-1)
     per_sample = -jnp.sum(y_onehot * logp, axis=-1)
     return jnp.sum(per_sample * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "training"),
+@functools.partial(jax.jit,
+                   static_argnames=("config", "training", "compute_dtype"),
                    donate_argnums=(0,))
-def sgd_train_step(params, x, y_onehot, mask, lr, rng, config, training=True):
+def sgd_train_step(params, x, y_onehot, mask, lr, rng, config, training=True,
+                   compute_dtype=None):
     """One basic-pipeline update: grads -> per-tensor clip(5.0) -> SGD.
 
     `params` is DONATED on TPU (halves peak parameter memory): rebind the
     result and do not reuse the input pytree after the call.
     """
     loss, grads = jax.value_and_grad(masked_loss_fn)(
-        params, x, y_onehot, mask, config, training=training, rng=rng
+        params, x, y_onehot, mask, config, training=training, rng=rng,
+        compute_dtype=compute_dtype,
     )
     params = optim.sgd_reference_update(params, grads, lr)
     return params, loss
 
 
-def make_adam_train_step(config: cnn.CNNConfig, tx: optax.GradientTransformation):
+def make_adam_train_step(config: cnn.CNNConfig, tx: optax.GradientTransformation,
+                         compute_dtype=None):
     """Advanced-pipeline update: Adam on softmax cross-entropy logits."""
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, x, y_onehot, mask, rng):
         loss, grads = jax.value_and_grad(masked_loss_fn)(
-            params, x, y_onehot, mask, config, training=True, rng=rng
+            params, x, y_onehot, mask, config, training=True, rng=rng,
+            compute_dtype=compute_dtype,
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -162,6 +171,10 @@ def fit(
     device_data: bool | None = None,   # keep the dataset device-resident
     device_data_dtype=None,            # e.g. jnp.bfloat16: compressed device
                                        # storage (compute stays f32)
+    compute_dtype=None,                # e.g. jnp.bfloat16: bf16 conv MXU
+                                       # compute, f32 accumulate/params
+                                       # (opt-in fast path; default keeps
+                                       # the f32-faithful parity contract)
     update_fn=None,                    # override: (params, opt_state, xb, yb, mb, lr, rng) -> (params, opt_state, loss)
 ) -> FitResult:
     """Train with the reference loop semantics, one XLA program per batch.
@@ -223,7 +236,8 @@ def fit(
 
     tx = optim.adam(lr) if optimizer == "adam" else None
     opt_state = tx.init(params) if tx is not None else None
-    adam_step = make_adam_train_step(config, tx) if tx is not None else None
+    adam_step = (make_adam_train_step(config, tx, compute_dtype)
+                 if tx is not None else None)
 
     best_acc, best_params = 0.0, None
     history: list[dict] = []
@@ -288,6 +302,7 @@ def fit(
                 params, loss = sgd_train_step(
                     params, xb, yb, jnp.asarray(mb),
                     jnp.float32(cur_lr), sub, config,
+                    compute_dtype=compute_dtype,
                 )
             # keep losses on device; one fetch per epoch (host round trips
             # cost ~30ms each on tunneled runtimes)

@@ -185,3 +185,45 @@ def test_summary_schema(tmp_path, rng):
     # nested-once layout like the reference file
     with open(hp) as f:
         assert json.load(f) == [hist]
+
+
+def test_fit_bf16_compute_learns_and_tracks_f32(rng):
+    """Opt-in bf16 conv compute (fit(compute_dtype=jnp.bfloat16)): the
+    model still learns, and one update step stays within bf16 tolerance
+    of the f32 step (params f32, accumulation f32, convs bf16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cadx_tpu.models import cnn
+    from cadx_tpu.train import step as ts
+
+    config = cnn.CNNConfig(input_shape=(12, 12, 3), num_classes=2,
+                           conv_layers=((6, 3),), hidden_units=(16,),
+                           dropout_rate=0.0)
+    n = 24
+    X = rng.standard_normal((n, 12, 12, 3)).astype(np.float32)
+    y = (X.mean(axis=(1, 2, 3)) > 0).astype(int)
+    y1h = np.eye(2)[y].astype(np.float32)
+
+    p0 = cnn.init_params(jax.random.key(0), config)
+    pf = jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), p0)
+    pb = jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), p0)
+    xb, yb = jnp.asarray(X[:8]), jnp.asarray(y1h[:8])
+    mb = jnp.ones((8,), jnp.float32)
+    k = jax.random.key(1)
+    pf, loss_f = ts.sgd_train_step(pf, xb, yb, mb, jnp.float32(0.05), k,
+                                   config)
+    pb, loss_b = ts.sgd_train_step(pb, xb, yb, mb, jnp.float32(0.05), k,
+                                   config, compute_dtype=jnp.bfloat16)
+    assert abs(float(loss_f) - float(loss_b)) < 0.05
+    for lf, lb in zip(jax.tree_util.tree_leaves(pf),
+                      jax.tree_util.tree_leaves(pb)):
+        assert lb.dtype == lf.dtype == jnp.float32  # params stay f32
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(lb),
+                                   atol=2e-2)
+
+    res = ts.fit(p0, config, X, y1h, X[:8], y[:8], epochs=8, lr=0.05,
+                 batch_size=8, optimizer="adam", seed=0,
+                 compute_dtype=jnp.bfloat16)
+    assert res.history[-1]["loss"] < res.history[0]["loss"]
+    assert max(res.epoch_accuracy) >= 0.5
