@@ -88,6 +88,31 @@ def main():
         "speedup_steady_state": round(ref_adv / (60 * steady), 1),
     }
 
+    import os
+
+    if os.environ.get("CADX_BENCH_TRAIN_BF16"):
+        # opt-in variant: bf16 conv MXU compute (fit(compute_dtype=...));
+        # default run stays f32-faithful so BENCH_TRAIN.json numbers
+        # remain comparable across rounds
+        epoch_times = []
+        params_b = cnn.init_params(jax.random.key(0), cfg_adv)
+        t0 = time.time()
+        _progress("starting advanced bf16-compute fit (8 epochs)")
+        step.fit(params_b, cfg_adv, Xtr, np.eye(2)[ytr], Xte, yte,
+                 epochs=8, lr=1e-3, batch_size=32, optimizer="adam",
+                 device_data=True, device_data_dtype=jnp.bfloat16,
+                 compute_dtype=jnp.bfloat16, log_fn=log)
+        measured_b = time.time() - t0
+        diffs_b = np.diff(epoch_times)
+        steady_b = (float(np.median(diffs_b[len(diffs_b) // 2:]))
+                    if len(diffs_b) > 1 else measured_b)
+        results["advanced_bf16_compute"] = {
+            "measured_epochs": 8,
+            "measured_secs": round(measured_b, 1),
+            "steady_secs_per_epoch": round(steady_b, 2),
+            "speedup_vs_f32_steady": round(steady / max(steady_b, 1e-9), 2),
+        }
+
     # --- basic config (training_summary_basic.json: 20 epochs, (32,32,64)) ---
     cfg_basic = cnn.CNNConfig(
         input_shape=(32, 32, 64), num_classes=2,

@@ -89,6 +89,9 @@ def main(argv=None) -> dict:
                     help="shard batches over all devices")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--bf16-compute", action="store_true",
+                    help="bf16 conv MXU compute (params/eval stay f32; "
+                         "faster, tolerance-level parity)")
     args = ap.parse_args(argv)
 
     from cadx_tpu.data.dataset import split_train_test
@@ -151,6 +154,7 @@ def main(argv=None) -> dict:
         checkpoint_path=npz_path,
         state_path=os.path.join(args.out_dir, "train_state.pkl"),
         resume=args.resume, update_fn=update_fn,
+        compute_dtype=jnp.bfloat16 if args.bf16_compute else None,
     )
 
     y_pred = step.predict_classes(res.params, Xte, config)
