@@ -186,11 +186,13 @@ def conv_stack(params: dict, x: jax.Array, config: CNNConfig, *,
     advanced model's padding=1 at its k=3.
 
     compute_dtype (e.g. jnp.bfloat16): opt-in mixed precision for the
-    conv MXU work — inputs/kernels cast down, accumulation stays f32
-    (preferred_element_type), single-pass MXU instead of the f32-faithful
-    HIGHEST passes. Params and the head remain f32; prediction parity is
-    tolerance-level (~1e-3), so this is for the training fast path, never
-    the parity-contracted default."""
+    conv MXU work — inputs/kernels cast down, single-pass MXU instead of
+    the f32-faithful HIGHEST passes. The MXU accumulates f32 internally
+    but each conv RESULT is rounded to compute_dtype (ops/conv.py picks
+    preferred_element_type from the operand dtype — an f32 result type
+    over bf16 operands breaks the conv transpose). Params and the head
+    remain f32; prediction parity is tolerance-level (~1e-3), so this is
+    for the training fast path, never the parity-contracted default."""
     alpha = config.leaky_alpha
     out = x
     precision = None

@@ -23,8 +23,9 @@ from cadx_tpu.train import optim
 from cadx_tpu.train.step import masked_loss_fn
 
 
-def make_dp_sgd_update(config: cnn.CNNConfig, mesh: Mesh):
-    """Mesh-sharded basic-pipeline update, fit(update_fn=...) compatible."""
+def make_dp_sgd_update(config: cnn.CNNConfig, mesh: Mesh, compute_dtype=None):
+    """Mesh-sharded basic-pipeline update, fit(update_fn=...) compatible.
+    compute_dtype: opt-in bf16 conv compute (see cnn.conv_stack)."""
     ds, repl = data_sharding(mesh), replicated(mesh)
 
     @functools.partial(
@@ -35,7 +36,8 @@ def make_dp_sgd_update(config: cnn.CNNConfig, mesh: Mesh):
     )
     def _update(params, x, y, mask, lr, rng):
         loss, grads = jax.value_and_grad(masked_loss_fn)(
-            params, x, y, mask, config, training=True, rng=rng
+            params, x, y, mask, config, training=True, rng=rng,
+            compute_dtype=compute_dtype,
         )
         return optim.sgd_reference_update(params, grads, lr), loss
 
@@ -46,8 +48,10 @@ def make_dp_sgd_update(config: cnn.CNNConfig, mesh: Mesh):
     return update_fn
 
 
-def make_dp_adam_update(config: cnn.CNNConfig, mesh: Mesh, lr: float = 1e-3):
-    """Mesh-sharded advanced-pipeline (Adam) update + its init_fn."""
+def make_dp_adam_update(config: cnn.CNNConfig, mesh: Mesh, lr: float = 1e-3,
+                        compute_dtype=None):
+    """Mesh-sharded advanced-pipeline (Adam) update + its init_fn.
+    compute_dtype: opt-in bf16 conv compute (see cnn.conv_stack)."""
     tx = optim.adam(lr)
     ds, repl = data_sharding(mesh), replicated(mesh)
 
@@ -59,7 +63,8 @@ def make_dp_adam_update(config: cnn.CNNConfig, mesh: Mesh, lr: float = 1e-3):
     )
     def _update(params, opt_state, x, y, mask, rng):
         loss, grads = jax.value_and_grad(masked_loss_fn)(
-            params, x, y, mask, config, training=True, rng=rng
+            params, x, y, mask, config, training=True, rng=rng,
+            compute_dtype=compute_dtype,
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss

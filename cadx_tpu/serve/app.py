@@ -360,7 +360,10 @@ class CADxApp:
                 "status": 400}
         path = os.path.join(self.ws.folder("segmentation"), npy[0])
         token = (path, os.path.getmtime(path))
-        return np.load(path), token, None
+        # mmap: on a device-cache hit the array is only shape-compared
+        # (and the async Grad-CAM job reads it lazily), so the hot path
+        # skips materializing the ~16MB stack on every request
+        return np.load(path, mmap_mode="r"), token, None
 
     @_locked
     def classify(self, pipeline: str = "basic") -> dict:

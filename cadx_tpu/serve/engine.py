@@ -202,10 +202,9 @@ class InferenceEngine:
         way, so results are identical)."""
         dev = self._cached_device_features(features, cache_token)
         if dev is not None:
-            f = dev.astype(jnp.float32)
-            if f.ndim == 3 and ((f.shape[0] == 64 and f.shape[-1] != 64)
-                                or f.shape[0] < f.shape[2]):
-                f = jnp.transpose(f, (1, 2, 0))  # CHW -> HWC (_to_hwc)
+            # _to_hwc only touches ndim/shape/transpose, so it works on
+            # the device array directly — one heuristic for hot and cold
+            f = self._to_hwc(dev.astype(jnp.float32))
             if pipeline == "basic":
                 return (resize_linear(f, self.config.feature_resize),
                         self.basic_params, self.config.basic_classifier)
@@ -395,18 +394,32 @@ class InferenceEngine:
             for i in range(len(preds))
         ]
 
-    def warmup(self) -> None:
-        """Compile + execute every serving program on dummy inputs so the
-        first real request pays no compile (remote compiles on this
-        runtime cost 20-300s; the persistent compile cache makes warmup
-        after a restart near-instant). Covers segment, both classifier
-        forwards, the CAM/ROI tails, and the micro-batcher program."""
+    def warmup(self, native_shapes=()) -> None:
+        """Compile + execute the serving programs on dummy inputs so
+        requests at the warmed shapes pay no compile (remote compiles on
+        this runtime cost 20-300s; the persistent compile cache makes
+        warmup after a restart near-instant). Covers segment at
+        segment_hw, both classifier forwards, the CAM/ROI tails, the
+        micro-batcher program, and the Grad-CAM overlay programs.
+
+        CAVEAT: _segment_jit is shape-specialized per upload resolution;
+        pass native_shapes (iterable of (H, W)) to pre-warm expected
+        native upload sizes — an upload at any OTHER resolution still
+        compiles its segment program on first sight."""
+        import tempfile
+
         h, w = self.config.segment_hw
-        feats, _clean = self.process_single_image(
-            np.zeros((h, w), np.uint8))
-        for pipeline in ("basic", "advanced"):
-            self.classify_and_roi(feats, pipeline)
-            self.dynamic_batcher(pipeline).classify(feats)
+        feats = None
+        for hw_ in [(h, w)] + [tuple(s) for s in native_shapes]:
+            feats, _clean = self.process_single_image(
+                np.zeros(hw_, np.uint8))
+        with tempfile.TemporaryDirectory() as tmp:
+            for pipeline in ("basic", "advanced"):
+                self.classify_and_roi(feats, pipeline)
+                self.dynamic_batcher(pipeline).classify(feats)
+                self.write_gradcam_overlays(
+                    feats, np.zeros((h, w), np.uint8), tmp,
+                    classes=(0, 1), pipeline=pipeline)
 
     def _bulk_mesh(self):
         """All-device (data, model=1) mesh for bulk fan-out, or None when

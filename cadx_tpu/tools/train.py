@@ -123,16 +123,19 @@ def main(argv=None) -> dict:
         from cadx_tpu.parallel import mesh as meshlib
 
         mesh = meshlib.make_mesh()
+        cdt = jnp.bfloat16 if args.bf16_compute else None
         if optimizer == "sgd":
-            update_fn = dp.make_dp_sgd_update(config, mesh)
+            update_fn = dp.make_dp_sgd_update(config, mesh, compute_dtype=cdt)
         else:
-            update_fn, _ = dp.make_dp_adam_update(config, mesh, lr)
+            update_fn, _ = dp.make_dp_adam_update(config, mesh, lr,
+                                                  compute_dtype=cdt)
 
     if args.kfolds >= 2:
         res = crossval.cross_validate(
             config, X, labels, n_splits=args.kfolds, epochs=args.epochs,
             lr=lr, batch_size=args.batch_size, optimizer=optimizer,
-            mesh=mesh, log_fn=print)
+            mesh=mesh, log_fn=print,
+            compute_dtype=jnp.bfloat16 if args.bf16_compute else None)
         agg = res.aggregate_metrics()
         print(f"[CV] mean acc {agg['mean_accuracy']:.4f} "
               f"± {agg['std_accuracy']:.4f}")

@@ -76,8 +76,10 @@ def cross_validate(
     seed: int = 0,
     mesh=None,
     log_fn=None,
+    compute_dtype=None,
 ) -> CrossValResult:
-    """Train/evaluate k folds; shard each fold's batches over `mesh`."""
+    """Train/evaluate k folds; shard each fold's batches over `mesh`.
+    compute_dtype: opt-in bf16 conv compute (see cnn.conv_stack)."""
     X = np.asarray(X, dtype=np.float32)
     y_labels = np.asarray(y_labels)
     y_onehot = np.eye(config.num_classes, dtype=np.float32)[y_labels]
@@ -88,9 +90,11 @@ def cross_validate(
         from cadx_tpu.parallel import data_parallel as dp
 
         if optimizer == "adam":
-            update_fn, opt_init = dp.make_dp_adam_update(config, mesh, lr)
+            update_fn, opt_init = dp.make_dp_adam_update(
+                config, mesh, lr, compute_dtype=compute_dtype)
         else:
-            update_fn = dp.make_dp_sgd_update(config, mesh)
+            update_fn = dp.make_dp_sgd_update(
+                config, mesh, compute_dtype=compute_dtype)
 
     results, accs, evals = [], [], []
     for fold, (train_idx, test_idx) in enumerate(KFold(n_splits).split(len(X))):
@@ -102,6 +106,7 @@ def cross_validate(
             epochs=epochs, lr=lr, batch_size=batch_size,
             optimizer=optimizer, seed=seed + fold,
             log_fn=log_fn, update_fn=update_fn,
+            compute_dtype=compute_dtype,
         )
         preds = step.predict_classes(res.params, X[test_idx], config)
         evals.append(evaluation_block(y_labels[test_idx], preds, config.num_classes))

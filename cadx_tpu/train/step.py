@@ -180,7 +180,9 @@ def fit(
     """Train with the reference loop semantics, one XLA program per batch.
 
     update_fn lets the data-parallel wrapper substitute a mesh-sharded
-    step without duplicating the loop. With state_path set, a full
+    step without duplicating the loop. NOTE: compute_dtype only reaches
+    the built-in sgd/adam steps — an update_fn must bake its own (the dp
+    makers take a compute_dtype kwarg). With state_path set, a full
     training state (params + optimizer state + epoch + history + rng) is
     checkpointed atomically after every epoch; resume=True continues from
     it — capabilities the reference lacks entirely (SURVEY.md section 5,
