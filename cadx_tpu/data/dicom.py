@@ -304,14 +304,19 @@ def dcmread(path_or_bytes) -> DicomFile:
     # 02 00 and masquerade as a group-2 tag.
     ts = "1.2.840.10008.1.2.1"
     meta_end = None
-    while off < len(buf) and (meta_end is None or off < meta_end):
-        group = struct.unpack_from("<H", buf, off)[0]
-        if group != 0x0002:
-            break
-        tag, value, off = _read_element(buf, off, explicit=True)
-        elements[tag] = value
-        if tag == (0x0002, 0x0000) and len(value) == 4:
-            meta_end = off + struct.unpack("<I", value)[0]
+    try:
+        while off < len(buf) and (meta_end is None or off < meta_end):
+            group = struct.unpack_from("<H", buf, off)[0]
+            if group != 0x0002:
+                break
+            tag, value, off = _read_element(buf, off, explicit=True)
+            elements[tag] = value
+            if tag == (0x0002, 0x0000) and len(value) == 4:
+                meta_end = off + struct.unpack("<I", value)[0]
+    except (struct.error, IndexError) as e:
+        # truncated/garbled meta group: surface the contract error, not
+        # a raw parse exception
+        raise DicomError(f"truncated file meta group: {e}") from e
     ts = elements.get(TAG_TRANSFER_SYNTAX, ts)
     if isinstance(ts, bytes):
         ts = ts.decode("ascii", errors="replace").strip("\x00 ").strip()
@@ -333,9 +338,12 @@ def dcmread(path_or_bytes) -> DicomFile:
         buf = memoryview(inflated)
         off = 0
 
-    while off + 8 <= len(buf):
-        tag, value, off = _read_element(buf, off, explicit, bo)
-        elements[tag] = value
+    try:
+        while off + 8 <= len(buf):
+            tag, value, off = _read_element(buf, off, explicit, bo)
+            elements[tag] = value
+    except (struct.error, IndexError) as e:
+        raise DicomError(f"truncated/garbled data set: {e}") from e
     return DicomFile(elements=elements, transfer_syntax=ts,
                      big_endian=big_endian)
 

@@ -386,3 +386,30 @@ def test_jpeg_lossless_rejects_bad_precision_and_point_transform(tmp_path,
         tampered[sof + 4] = bad_p
         with pytest.raises(dicom.DicomError):
             dicom.dcmread(bytes(tampered)).pixel_array
+
+
+def test_dcmread_truncation_and_mutation_fuzz(mammo16, rng):
+    """dcmread never leaks raw struct/Index errors: any truncation or
+    random byte mutation either parses, raises DicomError at read time,
+    or raises DicomError from pixel_array."""
+    for ts in (dicom.TS_EXPLICIT_LE, dicom.TS_RLE, dicom.TS_DEFLATED_LE):
+        import tempfile
+
+        p = tempfile.mktemp()
+        dicom.dcmwrite_minimal(p, mammo16, transfer_syntax=ts)
+        blob = open(p, "rb").read()
+        os.unlink(p)
+        for trunc in (0, 5, 131, 132, 140, 150, len(blob) // 2,
+                      len(blob) - 3):
+            try:
+                dicom.dcmread(blob[:trunc]).pixel_array
+            except dicom.DicomError:
+                pass
+        for i in range(120):
+            b = bytearray(blob)
+            for _ in range(int(rng.integers(1, 8))):
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+            try:
+                dicom.dcmread(bytes(b)).pixel_array
+            except dicom.DicomError:
+                pass
