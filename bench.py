@@ -171,8 +171,11 @@ def main():
             "unit": "img/s",
             "vs_baseline": 0.0,
             "error": "TPU tunnel unreachable: jax.devices() hung in every "
-                     "subprocess probe over ~15 min (infra outage, not a "
+                     "subprocess probe over ~13.5 min (infra outage, not a "
                      "perf regression; see CLAUDE.md tunnel-outage note)",
+            # context for the reader, NOT measurements from this run:
+            "prior_driver_capture_img_s": 2413.4,   # BENCH_r02.json
+            "prior_local_median_img_s": 4890.0,     # r3 steady state, pre-outage
         }))
         return
 
