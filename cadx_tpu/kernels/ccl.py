@@ -42,6 +42,20 @@ def _shifted_min_rev(p, shift: int, axis: int, fill):
     return jnp.minimum(p, jnp.where(idx >= n - shift, fill, rolled))
 
 
+def cumsum_i32(x, axis: int):
+    """Inclusive doubling prefix sum along `axis` (no Mosaic cumsum
+    lowering; exact for int32). Shared by the CCL/largest-obj segment
+    ids, the mode kernel's run barriers, and the equalize CDF."""
+    n = x.shape[axis]
+    idx = lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    shift = 1
+    while shift < n:
+        rolled = pltpu.roll(x, shift, axis)
+        x = x + jnp.where(idx < shift, 0, rolled)
+        shift *= 2
+    return x
+
+
 def _doubling_cummin(p, axis: int, reverse: bool, fill):
     n = p.shape[axis]
     shift = 1

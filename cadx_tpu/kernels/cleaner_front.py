@@ -47,7 +47,11 @@ from cadx_tpu.kernels.mode import largest_mask_from_labels
 
 
 def _floor_frac_of_max(img_i32, frac: float):
-    """relative_threshold_value: floor(max(img) * frac) (ops/threshold.py)."""
+    """relative_threshold_value semantics (ops/threshold.py): frac < 1.0
+    scales the image max (int-truncated); frac >= 1.0 is an ABSOLUTE
+    pixel threshold used as-is (static at trace time)."""
+    if frac >= 1.0:
+        return jnp.int32(int(frac))
     return jnp.floor(jnp.max(img_i32).astype(jnp.float32) * frac).astype(jnp.int32)
 
 

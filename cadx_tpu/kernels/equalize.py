@@ -53,22 +53,14 @@ def _equalize_kernel(img_ref, out_ref, *, chunk: int):
     # -------- CDF + LUT over the a-major (16,16) layout (bin = 16a+c) --
     col = lax.broadcasted_iota(jnp.int32, (16, 16), 1)
     row = lax.broadcasted_iota(jnp.int32, (16, 16), 0)
+    from cadx_tpu.kernels.ccl import cumsum_i32
+
     # prefix within each row (lo nibble axis)
-    cdf = hist2d
-    shift = 1
-    while shift < 16:
-        rolled = pltpu.roll(cdf, shift, 1)
-        cdf = cdf + jnp.where(col < shift, 0, rolled)
-        shift *= 2
+    cdf = cumsum_i32(hist2d, 1)
     # add previous rows' totals (exclusive prefix of row sums)
     row_tot = jnp.sum(cdf * (col == 15), axis=1, keepdims=True)  # (16,1)
     rr = lax.broadcasted_iota(jnp.int32, (16, 1), 0)
-    excl = jnp.where(rr < 1, 0, pltpu.roll(row_tot, 1, 0))
-    shift = 1
-    while shift < 16:
-        rolled = pltpu.roll(excl, shift, 0)
-        excl = excl + jnp.where(rr < shift, 0, rolled)
-        shift *= 2
+    excl = cumsum_i32(jnp.where(rr < 1, 0, pltpu.roll(row_tot, 1, 0)), 0)
     cdf = cdf + excl                                          # (16, 16)
 
     binidx = row * 16 + col

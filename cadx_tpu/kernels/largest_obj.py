@@ -32,21 +32,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cadx_tpu.kernels.ccl import ccl_relax
+from cadx_tpu.kernels.ccl import ccl_relax, cumsum_i32 as _cumsum_i32
 from cadx_tpu.kernels.flood import flood_relax
 from cadx_tpu.kernels.mode import largest_mask_from_labels
-
-
-def _cumsum_i32(x, axis: int):
-    """Doubling prefix sum (exact for int32; no Mosaic cumsum lowering)."""
-    n = x.shape[axis]
-    idx = lax.broadcasted_iota(jnp.int32, x.shape, axis)
-    shift = 1
-    while shift < n:
-        rolled = pltpu.roll(x, shift, axis)
-        x = x + jnp.where(idx < shift, 0, rolled)
-        shift *= 2
-    return x
 
 
 def _segs(mask_bool):

@@ -201,13 +201,10 @@ def _row_runlen(mask):
     h, w = mask.shape
     m = mask.astype(jnp.int32)
     c = _col_iota(m.shape)
+    from cadx_tpu.kernels.ccl import cumsum_i32
+
     # seg id = #barriers at-or-left (doubling inclusive cumsum)
-    seg = 1 - m
-    shift = 1
-    while shift < w:
-        rolled = pltpu.roll(seg, shift, 1)
-        seg = seg + jnp.where(c < shift, 0, rolled)
-        shift *= 2
+    seg = cumsum_i32(1 - m, 1)
     col_bits = int(np.ceil(np.log2(w + 1)))
     col_mask = np.int32((1 << col_bits) - 1)
     big = np.int32(2**30)

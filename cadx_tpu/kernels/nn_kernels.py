@@ -197,7 +197,11 @@ def _gradcam_tail_kernel(acts_ref, grads_ref, img_ref, lut_ref,
                      Ct.T, preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
     cam_up = jnp.clip(cam_up, 0.0, 1.0)
-    heat_u8 = jnp.round(cam_up * 255.0)
+    # TRUNCATE like the production tail's (x*255).astype(uint8)
+    # (pipeline/fused.py heat_u8) — rounding here would shift ~half of
+    # all heat pixels one JET bin (integer-slope ramps => channel
+    # deltas ~4), breaking drop-in bit parity
+    heat_u8 = jnp.floor(cam_up * 255.0)
     heat_ref[0] = heat_u8.astype(jnp.int32)
 
     # JET lookup as a per-bin accumulation entirely on (oh, ow) planes:
@@ -224,7 +228,8 @@ def _gradcam_tail_kernel(acts_ref, grads_ref, img_ref, lut_ref,
         blend_scratch[c] = b_c
         blended_max = jnp.maximum(blended_max, b_c.max())
     for c in range(3):
-        overlay_ref[0, c] = jnp.round(
+        # truncate, matching fused.py's (over * 255).astype(uint8)
+        overlay_ref[0, c] = jnp.floor(
             blend_scratch[c] / blended_max * 255.0).astype(jnp.int32)
 
 

@@ -70,28 +70,12 @@ def _pectoral_kernel(equ_ref, bin_ref, breast_ref, labels_ref, boundary_ref,
     markers = jnp.where(di == 0, 128, markers)
     markers = jnp.where(breast_ref[0] == 0, 64, markers)
 
-    # geodesic watershed (shared scan machinery, exact fixpoint)
+    # geodesic watershed (shared scan + relaxation machinery — ONE copy
+    # of the while-loop/convergence/boundary logic, geodesic_scan.py)
     img = equ_ref[0].astype(jnp.float32)
-    dist0 = jnp.where(markers > 0, 0.0, G.BIG)
-    srow, scol = G.axis_costs(_shift, img)
-
-    def body(state):
-        labels, dist, _, it = state
-        new_d, new_l = G.sweep(_shift, dist, labels, srow, scol, max_scan)
-        return new_l, new_d, jnp.any(new_d != dist), it + 1
-
-    def cond(state):
-        _, _, changed, it = state
-        return changed & (it < ws_max_iters)
-
-    labels, _, _, _ = lax.while_loop(
-        cond, body, (markers, dist0, jnp.bool_(True), jnp.int32(0)))
-
-    boundary = jnp.zeros(labels.shape, jnp.int32)
-    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-        nl = _shift(labels, dy, dx, 0)
-        boundary = boundary | (
-            (nl > 0) & (labels > 0) & (nl != labels)).astype(jnp.int32)
+    labels = G.relax_to_fixpoint(_shift, img, markers, ws_max_iters,
+                                 max_scan)
+    boundary = G.label_boundary(_shift, labels)
 
     # ridge-masked breast label -> opened breast-only mask
     mask128 = (boundary == 0) & (labels == 128)

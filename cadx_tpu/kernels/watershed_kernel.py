@@ -8,9 +8,13 @@ results are bit-identical. This kernel keeps the distance/label planes
 and the two prefix-sum cost planes in VMEM for the whole loop instead
 of round-tripping HBM every sweep.
 
-VMEM budget at 512x512: img, d, l, srow, scol + scan temporaries
-(~4 planes) ~= 9 f32/i32 planes ~= 9.4 MB — inside the 14 MB gate used
-by ops.components._use_pallas.
+VMEM budget: the MEASURED live footprint is ~16 planes including
+loop/scan temporaries (ops/watershed.py dispatches with
+_use_pallas(h, w, planes=16)), so 512x512 (16.8 MB tile-padded) is
+REJECTED and takes the XLA path — a 512 remote compile of this scan
+machinery actually failed (CLAUDE.md, r3-verified). 256x256 and below
+fit comfortably. Do not loosen the planes=16 gate without a real
+compile check.
 """
 
 from __future__ import annotations
@@ -50,30 +54,10 @@ def _shift(x, dy: int, dx: int, fill):
 def _watershed_kernel(img_ref, markers_ref, labels_ref, boundary_ref, *,
                       max_iters: int, max_scan: int):
     img = img_ref[0].astype(jnp.float32)
-    labels0 = markers_ref[0]
-    dist0 = jnp.where(labels0 > 0, 0.0, _BIG)
-    srow, scol = G.axis_costs(_shift, img)
-
-    def body(state):
-        labels, dist, _, it = state
-        new_d, new_l = G.sweep(_shift, dist, labels, srow, scol, max_scan)
-        changed = jnp.any(new_d != dist)
-        return new_l, new_d, changed, it + 1
-
-    def cond(state):
-        _, _, changed, it = state
-        return changed & (it < max_iters)
-
-    labels, dist, _, _ = lax.while_loop(
-        cond, body, (labels0, dist0, jnp.bool_(True), jnp.int32(0))
-    )
-
-    boundary = jnp.zeros(labels.shape, jnp.int32)
-    for dy, dx in _SHIFTS:
-        nl = _shift(labels, dy, dx, 0)
-        boundary = boundary | ((nl > 0) & (labels > 0) & (nl != labels)).astype(jnp.int32)
+    labels = G.relax_to_fixpoint(_shift, img, markers_ref[0],
+                                 max_iters, max_scan)
     labels_ref[0] = labels
-    boundary_ref[0] = boundary
+    boundary_ref[0] = G.label_boundary(_shift, labels)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "max_scan", "interpret"))

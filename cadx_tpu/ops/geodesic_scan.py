@@ -96,3 +96,35 @@ def sweep(shift, d, l, srow, scol, max_scan: int):
     take = cand < d
     d, l = jnp.where(take, cand, d), jnp.where(take, lw, l)
     return d, l
+
+
+def relax_to_fixpoint(shift, img, markers, max_iters: int, max_scan: int):
+    """Run Gauss-Seidel sweeps to the distance fixpoint -> final labels.
+    Shared by the standalone watershed kernel and the fused pectoral
+    kernel (one copy of the while-loop/convergence logic)."""
+    dist0 = jnp.where(markers > 0, 0.0, BIG)
+    srow, scol = axis_costs(shift, img)
+
+    def body(state):
+        labels, dist, _, it = state
+        new_d, new_l = sweep(shift, dist, labels, srow, scol, max_scan)
+        return new_l, new_d, jnp.any(new_d != dist), it + 1
+
+    def cond(state):
+        _, _, changed, it = state
+        return changed & (it < max_iters)
+
+    labels, _, _, _ = lax.while_loop(
+        cond, body, (markers, dist0, jnp.bool_(True), jnp.int32(0)))
+    return labels
+
+
+def label_boundary(shift, labels):
+    """cv2.watershed-style ridge: 4-neighbour label disagreements
+    between positive labels (int32 0/1 plane)."""
+    boundary = jnp.zeros(labels.shape, jnp.int32)
+    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        nl = shift(labels, dy, dx, 0)
+        boundary = boundary | (
+            (nl > 0) & (labels > 0) & (nl != labels)).astype(jnp.int32)
+    return boundary

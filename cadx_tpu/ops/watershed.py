@@ -77,26 +77,6 @@ def marker_watershed(image: jax.Array, markers: jax.Array,
         return labels[0], boundary[0]
 
     img = image.astype(jnp.float32)
-    labels0 = markers.astype(jnp.int32)
-    dist0 = jnp.where(labels0 > 0, 0.0, _BIG)
-    srow, scol = G.axis_costs(_shift, img)
-
-    def body(state):
-        labels, dist, _, it = state
-        new_d, new_l = G.sweep(_shift, dist, labels, srow, scol, max_scan)
-        changed = jnp.any(new_d != dist)
-        return new_l, new_d, changed, it + 1
-
-    def cond(state):
-        _, _, changed, it = state
-        return changed & (it < max_iters)
-
-    labels, dist, _, _ = lax.while_loop(
-        cond, body, (labels0, dist0, jnp.bool_(True), 0)
-    )
-
-    boundary = jnp.zeros(labels.shape, bool)
-    for dy, dx in _SHIFTS:
-        nl = _shift(labels, dy, dx, 0)
-        boundary |= (nl > 0) & (labels > 0) & (nl != labels)
-    return labels, boundary
+    labels = G.relax_to_fixpoint(_shift, img, markers.astype(jnp.int32),
+                                 max_iters, max_scan)
+    return labels, G.label_boundary(_shift, labels) == 1
