@@ -46,22 +46,24 @@ from cadx_tpu.kernels.largest_obj import _fill_holes, _opening, _segs
 from cadx_tpu.kernels.mode import largest_mask_from_labels
 
 
-def _floor_frac_of_max(img_i32, frac: float):
-    """relative_threshold_value semantics (ops/threshold.py): frac < 1.0
-    scales the image max (int-truncated); frac >= 1.0 is an ABSOLUTE
-    pixel threshold used as-is (static at trace time)."""
-    if frac >= 1.0:
-        return jnp.int32(int(frac))
-    return jnp.floor(jnp.max(img_i32).astype(jnp.float32) * frac).astype(jnp.int32)
+def _table_at_max(table_row, img_i32):
+    """table[max(img)] via a masked reduce (value-space dynamic indexing
+    has no Mosaic lowering). table_row: (1, 256) int32 — the host-exact
+    int(max * frac) truncation table (ops/threshold._trunc_table), so
+    the kernel's thresholds are bit-identical to the ops path's FLOAT64
+    reference semantics, not an f32 approximation."""
+    mx = jnp.max(img_i32)
+    idx = jax.lax.broadcasted_iota(jnp.int32, table_row.shape, 1)
+    return jnp.sum(jnp.where(idx == mx, table_row, 0))
 
 
-def _front_kernel(raw_ref, breast_only_ref, mask1_ref, contour_ref, *,
-                  lbl_bits: int, smooth_k: int, low_frac: float,
+def _front_kernel(raw_ref, thr_ref, breast_only_ref, mask1_ref,
+                  contour_ref, *, lbl_bits: int, smooth_k: int,
                   max_iters: int):
     raw = raw_ref[0]                                    # int32, uint8 range
 
     # ---- stage 1: suppress_artifacts ----
-    low1 = _floor_frac_of_max(raw, low_frac)
+    low1 = _table_at_max(thr_ref[0], raw)
     m1 = raw > low1
     rs, cs = _segs(m1)
     labels1 = ccl_relax(m1, rs, cs, lbl_bits=lbl_bits, connectivity=8,
@@ -76,7 +78,7 @@ def _front_kernel(raw_ref, breast_only_ref, mask1_ref, contour_ref, *,
     # ops/threshold.to_uint8, so the rescale is bit-identical
     maxv = jnp.maximum(jnp.max(img_suppr).astype(jnp.float32), 1e-12)
     img8 = (img_suppr.astype(jnp.float32) / maxv * 255.0).astype(jnp.int32)
-    low2 = _floor_frac_of_max(img8, low_frac)
+    low2 = _table_at_max(thr_ref[0], img8)
     m2 = img8 > low2
     filled2 = _fill_holes(m2, max_iters)
     rs2, cs2 = _segs(filled2)
@@ -105,16 +107,27 @@ def cleaner_front_pallas(raw_u8: jax.Array, smooth_k: int = 15,
     if lbl_bits + seg_bits > 30:
         raise ValueError(f"image too large for packed CCL: {h}x{w}")
     spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    # exact reference truncation table (float64 int(max*frac)) shared
+    # with ops/threshold.relative_threshold_value; frac >= 1.0 is the
+    # absolute-threshold branch (constant table)
+    from cadx_tpu.ops.threshold import _trunc_table
+
+    if low_frac >= 1.0:
+        thr_np = np.full((256,), int(low_frac), np.int32)
+    else:
+        thr_np = _trunc_table(float(low_frac), 256)
+    thr = jnp.broadcast_to(jnp.asarray(thr_np)[None, None, :], (b, 1, 256))
+    thr_spec = pl.BlockSpec((1, 1, 256), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
     breast_only, mask1, contour = pl.pallas_call(
         functools.partial(_front_kernel, lbl_bits=lbl_bits,
-                          smooth_k=smooth_k, low_frac=low_frac,
-                          max_iters=max_iters),
+                          smooth_k=smooth_k, max_iters=max_iters),
         out_shape=(jax.ShapeDtypeStruct((b, h, w), jnp.int32),
                    jax.ShapeDtypeStruct((b, h, w), jnp.int32),
                    jax.ShapeDtypeStruct((b, h, w), jnp.int32)),
         grid=(b,),
-        in_specs=[spec],
+        in_specs=[spec, thr_spec],
         out_specs=(spec, spec, spec),
         interpret=interpret,
-    )(raw_u8.astype(jnp.int32))
+    )(raw_u8.astype(jnp.int32), thr)
     return breast_only, mask1 == 1, contour == 1

@@ -120,11 +120,18 @@ def relax_to_fixpoint(shift, img, markers, max_iters: int, max_scan: int):
 
 
 def label_boundary(shift, labels):
-    """cv2.watershed-style ridge: 4-neighbour label disagreements
-    between positive labels (int32 0/1 plane)."""
+    """cv2.watershed-style ridge (int32 0/1 plane): 4-neighbour label
+    disagreements between positive labels, PLUS the 1-px image frame —
+    cv2.watershed always marks the whole outer border -1 (verified
+    directly; the reference's red boundary paint and border-zeroed
+    breast_only_mask both include it, customImageCleaner.py:145-149)."""
+    h, w = labels.shape
     boundary = jnp.zeros(labels.shape, jnp.int32)
     for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
         nl = shift(labels, dy, dx, 0)
         boundary = boundary | (
             (nl > 0) & (labels > 0) & (nl != labels)).astype(jnp.int32)
-    return boundary
+    r = lax.broadcasted_iota(jnp.int32, labels.shape, 0)
+    c = lax.broadcasted_iota(jnp.int32, labels.shape, 1)
+    frame = (r == 0) | (r == h - 1) | (c == 0) | (c == w - 1)
+    return boundary | frame.astype(jnp.int32)

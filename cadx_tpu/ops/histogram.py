@@ -29,6 +29,13 @@ def equalize_hist(img_u8: jax.Array) -> jax.Array:
     XLA compare-reduce (5.45 vs 8.71 ms/128-batch at 256x256)."""
     from cadx_tpu.ops.components import _use_pallas
 
+    if img_u8.dtype != jnp.uint8:
+        # cv2.equalizeHist only accepts 8-bit input (the reference would
+        # raise here too); a 16-bit image fed through the 256-bin LUT
+        # would be silently zeroed, which is far worse than an error
+        raise ValueError(
+            f"equalize_hist needs uint8 input, got {img_u8.dtype} "
+            "(rescale with ops.threshold.to_uint8 first)")
     h, w = img_u8.shape
     # _use_pallas is deliberately reused as a conservative TPU/size/
     # escape-hatch gate (its CCL label-bit check is irrelevant here but

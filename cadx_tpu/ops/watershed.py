@@ -34,15 +34,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax import lax
-import numpy as np
-
 from cadx_tpu.ops import geodesic_scan as G
-
-_BIG = G.BIG
-
-# (dy, dx) 4-neighborhood (boundary extraction)
-_SHIFTS = ((1, 0), (-1, 0), (0, 1), (0, -1))
 
 
 def _shift(x: jax.Array, dy: int, dx: int, fill) -> jax.Array:

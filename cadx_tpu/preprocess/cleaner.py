@@ -221,11 +221,15 @@ def process(img: jax.Array, median_filtering: bool = True,
     img_proc = img
     if median_filtering:
         img_proc = median_blur(img_proc, blur_kn_size)
-    img_proc_s, mask_ = suppress_artifacts(
-        img_proc, global_threshold=low_int_threshold, kernel_size=kernel_size
-    )
     if artif_suppression:
-        img_proc = img_proc_s
+        img_proc, mask_ = suppress_artifacts(
+            img_proc, global_threshold=low_int_threshold,
+            kernel_size=kernel_size)
+    else:
+        # reference else-branch calls suppress_artifacts with DEFAULTS
+        # just to get the mask (customImageCleaner.py:170) — caller
+        # thresholds must not leak into it
+        _, mask_ = suppress_artifacts(img_proc)
     if pect_removal:
         res = remove_pectoral(img_proc, mask_,
                               high_int_threshold=high_int_threshold,

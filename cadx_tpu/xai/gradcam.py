@@ -62,11 +62,14 @@ def gradcam_overlay(params, x: jax.Array, display_img_u8: jax.Array,
     heatmap_u8 = (cam_big * 255).astype(jnp.uint8)
 
     # show_cam_on_image: jet(uint8 cam) BGR -> RGB floats + img, renorm.
-    # The one-hot-matmul LUT materializes (pixels, 256) floats; beyond
-    # ~1.5MP displays that is gigabytes, so large outputs colormap at a
-    # bounded intermediate resolution and bilinearly resize the colors
-    # (sub-1-count differences at jet band edges).
-    if out_hw[0] * out_hw[1] <= 1_500_000:
+    # The exact ramp-form apply_jet is ~20 fusable elementwise int ops
+    # per pixel with no big intermediate, so it is used at ANY size; the
+    # bounded-resolution approximation below only matters for the
+    # one-hot-matmul LUT fallback, which materializes (pixels, 256)
+    # floats — gigabytes beyond ~1.5MP displays.
+    from cadx_tpu.ops.colormap import _jet_ramps
+
+    if _jet_ramps() is not None or out_hw[0] * out_hw[1] <= 1_500_000:
         jet_bgr = apply_jet(heatmap_u8).astype(jnp.float32) / 255.0
     else:
         scale = (out_hw[0] * out_hw[1] / 1_500_000) ** 0.5

@@ -19,25 +19,22 @@ from cadx_tpu.ops.components import largest_component
 
 @functools.partial(jax.jit, static_argnames=("threshold",))
 def roi_from_cam(cam: jax.Array, threshold: float = 0.6):
-    """cam: (h, w) in [0,1] -> (top, left, height, width) normalized.
-
-    Falls back to the full frame when nothing exceeds the threshold.
-    """
+    """cam: (h, w) in [0,1] -> (top, left, height, width) normalized
+    bounding box of the largest hot region (always non-empty: the CAM
+    argmax pixel is hot by construction)."""
     h, w = cam.shape
+    # `hot` always contains at least the argmax pixel (>= is reflexive,
+    # and an all-zero CAM satisfies 0 >= 0 everywhere), so the largest
+    # component is never empty and the bounding box is always defined
     hot = cam >= threshold * cam.max()
     region = largest_component(hot, connectivity=8)
-    any_ = region.any()
     rows = region.any(axis=1)
     cols = region.any(axis=0)
     y0 = jnp.argmax(rows)
     y1 = h - jnp.argmax(rows[::-1])
     x0 = jnp.argmax(cols)
     x1 = w - jnp.argmax(cols[::-1])
-    top = jnp.where(any_, y0 / h, 0.0)
-    left = jnp.where(any_, x0 / w, 0.0)
-    height = jnp.where(any_, (y1 - y0) / h, 1.0)
-    width = jnp.where(any_, (x1 - x0) / w, 1.0)
-    return top, left, height, width
+    return y0 / h, x0 / w, (y1 - y0) / h, (x1 - x0) / w
 
 
 def roi_coords_dict(cam) -> dict:
