@@ -20,7 +20,7 @@ def load_dicom(path: str, show: bool = True):
     if show:
         import matplotlib.pyplot as plt
 
-        plt.imshow(dicom.primary_frame(ds), cmap="gray")
+        plt.imshow(dicom.primary_frame(ds, arr=arr), cmap="gray")
         plt.title(f"DICOM Image : {ds.PatientID}")
         plt.show()
     return ds

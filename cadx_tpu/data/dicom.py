@@ -168,15 +168,27 @@ class DicomFile:
         return np.stack([d.astype(dtype) for d in decoded])
 
 
-def primary_frame(ds) -> np.ndarray:
+def primary_frame(ds, arr: np.ndarray | None = None) -> np.ndarray:
     """2-D grayscale view of a dataset's pixel data: frame 0 of
     multi-frame files (tomosynthesis), rec601 luma of samples-last
     color (RGB secondary capture) — cv2.imread-grayscale semantics.
     The frame axis is identified by NumberOfFrames, never by ndim
     alone (an RGB file is also 3-D). Accepts any object with a
-    pydicom-style `pixel_array`."""
-    arr = np.asarray(ds.pixel_array)
-    n_frames = ds.get_is(TAG_NUMBER_OF_FRAMES, 1) if hasattr(ds, "get_is") else 1
+    pydicom-style `pixel_array`: our DicomFile (get_is) or a pydicom
+    dataset (NumberOfFrames attribute). Pass `arr` to reuse an
+    already-decoded pixel array (decoding compressed data twice costs
+    seconds per full-resolution frame)."""
+    if arr is None:
+        arr = np.asarray(ds.pixel_array)
+    else:
+        arr = np.asarray(arr)
+    if hasattr(ds, "get_is"):
+        n_frames = ds.get_is(TAG_NUMBER_OF_FRAMES, 1)
+    else:  # pydicom-style attribute (absent -> single frame)
+        try:
+            n_frames = int(getattr(ds, "NumberOfFrames", 1) or 1)
+        except (TypeError, ValueError):
+            n_frames = 1
     if n_frames > 1 and arr.ndim >= 3:
         arr = arr[0]
     if arr.ndim == 3 and arr.shape[-1] in (3, 4):
@@ -248,14 +260,15 @@ def _rle_pixels(frame: bytes, rows: int, cols: int, bits: int) -> np.ndarray:
     the pure-Python PackBits loop is per-byte and costs seconds on a
     full-resolution 16-bit mammogram; the codecs path stays the
     bit-identical fallback (and the parity oracle)."""
-    try:
-        from cadx_tpu.data import native_loader
+    if bits in (8, 16):  # depths the python oracle accepts
+        try:
+            from cadx_tpu.data import native_loader
 
-        arr = native_loader.decode_rle(frame, rows, cols, bits)
-        if arr is not None:
-            return arr
-    except Exception:
-        pass  # toolchain missing or native decode failed: python fallback
+            arr = native_loader.decode_rle(frame, rows, cols, bits)
+            if arr is not None:
+                return arr
+        except Exception:
+            pass  # toolchain missing / native rejected: python fallback
     from cadx_tpu.data import codecs
 
     return codecs.rle_decode(frame, rows, cols, bits)

@@ -49,11 +49,23 @@ def _build() -> str:
     return _LIB_PATH
 
 
+_lib_error: Exception | None = None
+
+
 def get_lib() -> ctypes.CDLL:
-    global _lib
+    global _lib, _lib_error
     with _lib_lock:
+        if _lib_error is not None:
+            # cache build failures: re-running a failed multi-second g++
+            # compile per frame/file would dwarf the python fallback
+            raise _lib_error
         if _lib is None:
-            lib = ctypes.CDLL(_build())
+            try:
+                path = _build()
+            except NativeUnavailable as e:
+                _lib_error = e
+                raise
+            lib = ctypes.CDLL(path)
             lib.cadx_dicom_info.argtypes = [
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]

@@ -197,10 +197,10 @@ def conv_stack(params: dict, x: jax.Array, config: CNNConfig, *,
     out = x
     precision = None
     if compute_dtype is not None:
+        # the ONLY explicit downcast: conv2d returns out.astype(x.dtype)
+        # and leaky/pool preserve dtype, so bf16 propagates layer-to-layer
         out = out.astype(compute_dtype)
-        from jax import lax as _lax
-
-        precision = _lax.Precision.DEFAULT
+        precision = jax.lax.Precision.DEFAULT
     for layer in params["conv"]:
         kernel = layer["kernel"]
         if compute_dtype is not None:
@@ -210,8 +210,6 @@ def conv_stack(params: dict, x: jax.Array, config: CNNConfig, *,
         out = leaky_relu(conv2d(out, kernel, layer["bias"], padding=padding,
                                 precision=precision), alpha)
         out = max_pool_ties(out, 2)
-        if compute_dtype is not None:
-            out = out.astype(compute_dtype)
     return out
 
 

@@ -216,6 +216,7 @@ bool rle_decode(const uint8_t* frame, size_t len, int rows, int cols,
   if (len < 64) return false;
   uint32_t n_segs = rd32(frame);
   size_t count = static_cast<size_t>(rows) * cols;
+  if (bits != 8 && bits != 16) return false;  // match codecs.rle_decode
   int want = bits == 16 ? 2 : 1;
   if (static_cast<int>(n_segs) != want) return false;
   std::vector<std::vector<uint8_t>> planes;
