@@ -99,11 +99,9 @@ def _gradcam_tail(acts, vjp_fn, clean01, class_idx, config: PipelineConfig):
     b = acts.shape[0]
     seed = jnp.zeros((b, config.classifier.num_classes)).at[:, class_idx].set(1.0)
     (grads,) = vjp_fn(seed)
-    weights = grads.mean(axis=(1, 2), keepdims=True)
-    cam = jax.nn.relu((weights * acts).sum(axis=-1))          # (B, h, w)
-    lo = cam.min(axis=(1, 2), keepdims=True)
-    hi = cam.max(axis=(1, 2), keepdims=True)
-    cam = (cam - lo) / (hi - lo + 1e-7)
+    from cadx_tpu.xai.gradcam import cam_from_acts_grads
+
+    cam = cam_from_acts_grads(acts, grads)                    # (B, h, w)
 
     # MXU matmul resize — jax.image.resize's gather form costs ~3ms/batch
     # here; same sample points, tolerance-contracted path

@@ -132,6 +132,16 @@ class CADxApp:
         if not allowed_file(filename):
             return {"error": f"unsupported file type: {filename}",
                     "redirect": "/diagnosis"}
+        # a previous patient's async artifact jobs may still be writing
+        # into the folders about to be cleared (first-compile Grad-CAM
+        # can take minutes); finishing them first means they can never
+        # rewrite the fixed-name overlays AFTER the clear and masquerade
+        # as the new patient's artifacts
+        for job in ("gradcam", "save_masks"):
+            try:
+                self.ws.wait(job)
+            except Exception:  # noqa: BLE001 — a failed old job is moot
+                pass
         for f in ("raw", "preprocessed", "segmentation", "clean"):
             self.ws.clear_folder(f)
         # also clear the static mirrors so a re-upload can never serve a
@@ -208,8 +218,10 @@ class CADxApp:
         total = 0
         with zipfile.ZipFile(io.BytesIO(zip_bytes)) as zf:
             for member in zf.infolist():
-                name = os.path.basename(member.filename)
-                if not name:
+                name = secure_filename(os.path.basename(member.filename))
+                if name == "upload" or not allowed_file(name):
+                    # same filter every other upload path applies ('.' or
+                    # '..' basenames would even raise IsADirectoryError)
                     continue
                 # decompression-bomb guard: trust but verify declared sizes
                 if member.file_size > MAX_MEMBER or total + member.file_size > MAX_TOTAL:
@@ -330,11 +342,19 @@ class CADxApp:
         }
 
     def copy_image_to_static(self) -> str:
-        """Reference copy_image_to_static (app.py:196-212)."""
+        """Reference copy_image_to_static (app.py:196-212). For DICOM
+        uploads the browser cannot render the raw .dcm, so the clean PNG
+        (written by upload_single) is mirrored instead — the reference
+        never hit this because it only accepted png/jpg/gif."""
         cases = self.ws.read_cases()
         if not cases:
             return ""
         image_path = cases[0]["dicom_file_path"]
+        if image_path.lower().endswith(".dcm"):
+            base = os.path.splitext(os.path.basename(image_path))[0]
+            clean_path = os.path.join(self.ws.folder("clean"), base + ".png")
+            if os.path.exists(clean_path):
+                image_path = clean_path
         name = os.path.basename(image_path)
         dst = os.path.join(self.ws.folder("images"), name)
         if os.path.exists(image_path):
@@ -438,7 +458,10 @@ def _parse_multipart(content_type: str, body: bytes) -> dict:
     fields: dict[str, bytes | tuple[str, bytes]] = {}
     if "boundary=" not in content_type:
         return fields
-    boundary = content_type.split("boundary=", 1)[1].strip().strip('"')
+    # parameters may follow boundary (RFC 2045: '; charset=...'): split
+    # them off or the delimiter never matches and uploads silently drop
+    boundary = (content_type.split("boundary=", 1)[1]
+                .split(";")[0].strip().strip('"'))
     delim = b"--" + boundary.encode()
     for part in body.split(delim):
         if part in (b"", b"--", b"--\r\n", b"\r\n"):
@@ -519,16 +542,19 @@ class _Handler(BaseHTTPRequestHandler):
         guessed = mimetypes.guess_type(full)[0] or "application/octet-stream"
         # never serve active content types from the artifact store
         # (stored-XSS guard: uploads are copied under static/)
-        safe = {"image/png", "image/jpeg", "image/gif", "text/css",
-                "application/json"}
-        ctype = guessed if guessed in safe else "application/octet-stream"
-        with open(full, "rb") as f:
-            data = f.read()
+        allowed_types = {"image/png", "image/jpeg", "image/gif", "text/css",
+                         "application/json"}
+        ctype = guessed if guessed in allowed_types else "application/octet-stream"
         self.send_response(200)
         self.send_header("Content-Type", ctype)
-        self.send_header("Content-Length", str(len(data)))
+        self.send_header("Content-Length", str(os.path.getsize(full)))
         self.end_headers()
-        self.wfile.write(data)
+        # chunked copy: raw mammogram mirrors can be hundreds of MB;
+        # slurping them would allocate the whole file per request thread
+        import shutil as _shutil
+
+        with open(full, "rb") as f:
+            _shutil.copyfileobj(f, self.wfile, length=1 << 20)
 
     def _redirect(self, location: str):
         self.send_response(302)

@@ -30,10 +30,9 @@ import jax.numpy as jnp
 
 from cadx_tpu.models import cnn
 from cadx_tpu.ops.resize import resize_linear
-from cadx_tpu.xai.gradcam import conv_features, head_logits
+from cadx_tpu.serve.engine import classify_result_dict
+from cadx_tpu.xai.gradcam import cam_from_acts_grads, conv_features, head_logits
 from cadx_tpu.xai.roi import roi_coords_dict
-
-CLASS_MAP = {0: "Benign", 1: "Malignant", 2: "Normal"}
 
 
 @functools.partial(jax.jit, static_argnames=("config", "fh", "fw"))
@@ -53,11 +52,7 @@ def _batched_classify(params, feats_hwc, config: cnn.CNNConfig,
     _, vjp_fn = jax.vjp(lambda a: head_logits(params, a, config), acts)
     seed = jax.nn.one_hot(pred, config.num_classes, dtype=jnp.float32)
     (grads,) = vjp_fn(seed)
-    weights = grads.mean(axis=(1, 2), keepdims=True)
-    cam = jax.nn.relu((weights * acts).sum(axis=-1))        # (B, h, w)
-    lo = cam.min(axis=(1, 2), keepdims=True)
-    hi = cam.max(axis=(1, 2), keepdims=True)
-    cam = (cam - lo) / (hi - lo + 1e-7)
+    cam = cam_from_acts_grads(acts, grads)                  # (B, h, w)
     return probs, pred, cam
 
 
@@ -98,6 +93,10 @@ class MicroBatcher:
             raise RuntimeError("MicroBatcher is closed")
         fut: Future = Future()
         self._q.put((np.asarray(features, np.float32), fut))
+        if self._stop:
+            # close() may have drained BEFORE our put landed (check-then-
+            # put race); drain again so no future is ever abandoned
+            self._drain_queue()
         return fut.result()
 
     def close(self) -> None:
@@ -106,6 +105,9 @@ class MicroBatcher:
         # fail queued (and racing post-close) requests instead of leaving
         # their futures unresolved — fut.result() has no timeout, so an
         # abandoned future would block its request thread forever
+        self._drain_queue()
+
+    def _drain_queue(self) -> None:
         while True:
             try:
                 _, fut = self._q.get_nowait()
@@ -169,17 +171,8 @@ class MicroBatcher:
             self.n_flushes += 1
             self.n_samples += b
             for i, (_, fut) in enumerate(items):
-                cls_idx = int(pred[i])
-                fut.set_result({
-                    "prediction_probabilities": probs[i].tolist(),
-                    "predicted_class": CLASS_MAP[cls_idx],
-                    "predicted_class_index": cls_idx,
-                    "accuracy": round(float(probs[i].max()) * 100, 2),
-                    "confidence": 76,  # reference quirk (app.py:560)
-                    "diagnosis": CLASS_MAP[cls_idx],
-                    "explainability": 0.5,
-                    "roiCoords": roi_coords_dict(cam[i]),
-                })
+                fut.set_result(classify_result_dict(
+                    probs[i], int(pred[i]), roi_coords_dict(cam[i])))
         except Exception as e:  # noqa: BLE001
             if len(items) > 1:  # isolate the offender, keep the rest
                 for item in items:

@@ -35,6 +35,23 @@ from cadx_tpu.xai import gradcam
 CLASS_MAP = {0: "Benign", 1: "Malignant", 2: "Normal"}
 
 
+def classify_result_dict(probs, cls_idx: int, roi: dict) -> dict:
+    """THE classify result schema (reference rows, app.py:555-564),
+    shared by the per-sample engine path and the micro-batcher so the
+    two cannot drift."""
+    probs = np.asarray(probs)
+    return {
+        "prediction_probabilities": probs.tolist(),
+        "predicted_class": CLASS_MAP[cls_idx],
+        "predicted_class_index": cls_idx,
+        "accuracy": round(float(probs.max()) * 100, 2),
+        "confidence": 76,  # reference quirk (app.py:560)
+        "diagnosis": CLASS_MAP[cls_idx],
+        "explainability": 0.5,
+        "roiCoords": roi,
+    }
+
+
 @dataclasses.dataclass
 class EngineConfig:
     segment_hw: tuple[int, int] = (512, 512)
@@ -263,7 +280,6 @@ class InferenceEngine:
         else:
             cls_idx, probs = self._predict_advanced(feats_in)
         cls_idx = int(cls_idx)
-        probs = np.asarray(probs)
 
         # real ROI from the predicted class's CAM (the reference hardcodes
         # roiCoords, app.py:563)
@@ -276,16 +292,7 @@ class InferenceEngine:
         except Exception:  # noqa: BLE001 — ROI is auxiliary, never fatal
             roi = {"top": 0.20, "left": 0.30, "width": 0.40, "height": 0.35}
 
-        return {
-            "prediction_probabilities": probs.tolist(),
-            "predicted_class": CLASS_MAP[cls_idx],
-            "predicted_class_index": cls_idx,
-            "accuracy": round(float(probs.max()) * 100, 2),
-            "confidence": 76,
-            "diagnosis": CLASS_MAP[cls_idx],
-            "explainability": 0.5,
-            "roiCoords": roi,
-        }
+        return classify_result_dict(probs, cls_idx, roi)
 
     @functools.cached_property
     def _predict_basic(self):

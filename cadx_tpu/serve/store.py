@@ -66,12 +66,17 @@ class Workspace:
 
     # --- case CSV ---------------------------------------------------------
     def write_case(self, entry: dict) -> None:
-        """Single-case overwrite, like the reference's df.to_csv (app.py:304-305)."""
+        """Single-case overwrite, like the reference's df.to_csv
+        (app.py:304-305) — written to a temp file and os.replace'd so
+        unlocked concurrent readers (/diagnosis) never see a truncated
+        or torn CSV."""
         row = {k: entry.get(k, "") for k in CSV_HEADERS}
-        with open(self.csv_path, "w", newline="") as f:
+        tmp = self.csv_path + ".tmp"
+        with open(tmp, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=CSV_HEADERS)
             w.writeheader()
             w.writerow(row)
+        os.replace(tmp, self.csv_path)
 
     def read_cases(self) -> list[dict]:
         if not os.path.exists(self.csv_path):

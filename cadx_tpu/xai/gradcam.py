@@ -33,6 +33,18 @@ conv_features = cnn.conv_stack
 head_logits = cnn.head_logits
 
 
+def cam_from_acts_grads(acts: jax.Array, grads: jax.Array) -> jax.Array:
+    """THE Grad-CAM core, batched: weights = GAP(grads), cam =
+    relu(sum_k w_k A_k), per-sample min-max to [0,1] (+1e-7 guard).
+    (B,h,w,F) -> (B,h,w). Shared by gradcam_map, the fused pipeline tail
+    and the micro-batcher so the parity-contracted semantics live once."""
+    weights = grads.mean(axis=(1, 2), keepdims=True)      # GAP over spatial
+    cam = jax.nn.relu((weights * acts).sum(axis=-1))      # (B, h, w)
+    lo = cam.min(axis=(1, 2), keepdims=True)
+    hi = cam.max(axis=(1, 2), keepdims=True)
+    return (cam - lo) / (hi - lo + 1e-7)
+
+
 @functools.partial(jax.jit, static_argnames=("config", "class_idx"))
 def gradcam_map(params, x: jax.Array, class_idx: int,
                 config: cnn.CNNConfig) -> jax.Array:
@@ -42,10 +54,7 @@ def gradcam_map(params, x: jax.Array, class_idx: int,
     # d(score_class)/d(activations)
     seed = jnp.zeros((1, config.num_classes)).at[0, class_idx].set(1.0)
     (grads,) = vjp_fn(seed)
-    weights = grads.mean(axis=(1, 2), keepdims=True)      # GAP over spatial
-    cam = jax.nn.relu((weights * acts).sum(axis=-1))[0]   # (h, w)
-    lo, hi = cam.min(), cam.max()
-    return (cam - lo) / (hi - lo + 1e-7)
+    return cam_from_acts_grads(acts, grads)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("config", "class_idx", "out_hw"))
@@ -124,10 +133,7 @@ def resnet_gradcam_map(params, x: jax.Array, class_idx: int, config) -> jax.Arra
     _, vjp_fn = jax.vjp(lambda f: resnet.head_logits(params, f, config), acts)
     seed = jnp.zeros((1, config.num_classes)).at[0, class_idx].set(1.0)
     (grads,) = vjp_fn(seed)
-    weights = grads.mean(axis=(1, 2), keepdims=True)
-    cam = jax.nn.relu((weights * acts).sum(axis=-1))[0]
-    lo, hi = cam.min(), cam.max()
-    return (cam - lo) / (hi - lo + 1e-7)
+    return cam_from_acts_grads(acts, grads)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("config", "class_idx", "out_hw"))

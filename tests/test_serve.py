@@ -551,3 +551,33 @@ def test_engine_warmup_compiles_all_serving_programs():
     out = eng.classify(feats, "basic")
     assert out["predicted_class"] in ("Benign", "Malignant")
     assert eng.dynamic_batcher("basic").n_samples >= 1  # batcher warmed
+
+
+def test_upload_waits_for_inflight_artifact_jobs(tmp_path):
+    """A prior patient's async Grad-CAM job must FINISH before
+    upload_single clears the artifact folders — otherwise it could
+    rewrite the fixed-name overlays after the clear and masquerade as
+    the new patient's artifacts."""
+    import time as _time
+
+    import cv2
+
+    from cadx_tpu.serve.app import CADxApp
+
+    app = CADxApp(str(tmp_path), engine=_small_engine())
+    marker = os.path.join(app.ws.folder("explainability"), "late.png")
+
+    def slow_overlay_job():
+        _time.sleep(1.0)
+        with open(marker, "wb") as f:
+            f.write(b"old patient artifact")
+
+    app.ws.submit("gradcam", slow_overlay_job)
+    img = np.full((64, 64), 128, np.uint8)
+    ok, buf = cv2.imencode(".png", img)
+    assert ok
+    out = app.upload_single(buf.tobytes(), "new.png")
+    assert "error" not in out
+    # the old job ran to completion BEFORE the clear, so its marker was
+    # removed with the rest of the stale artifacts
+    assert not os.path.exists(marker)
