@@ -51,8 +51,10 @@ def _tunnel_preflight(attempts: int = 6, probe_timeout_s: int = 60,
     run. Skipped when not targeting the tunnel."""
     import os
 
-    if os.environ.get("JAX_PLATFORMS", "axon") != "axon":
-        return True
+    plats = [p.strip() for p in
+             os.environ.get("JAX_PLATFORMS", "axon").split(",") if p.strip()]
+    if not plats or plats[0] != "axon":
+        return True  # not targeting the tunnel
     for i in range(attempts):
         try:
             r = subprocess.run(

@@ -30,7 +30,11 @@ import zlib
 
 import numpy as np
 
-_EXPLICIT_LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN"}
+_EXPLICIT_LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN",
+                      # newer long-form VRs (PS3.5 6.2): URIs, long code
+                      # strings, double/64-bit arrays — misreading their
+                      # 4-byte length as reserved bytes desyncs the walk
+                      b"UC", b"UR", b"OD", b"OL", b"OV", b"SV", b"UV"}
 
 # transfer syntax UIDs we can decode
 TS_IMPLICIT_LE = "1.2.840.10008.1.2"

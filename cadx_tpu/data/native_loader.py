@@ -161,6 +161,10 @@ class NativeBatchLoader:
     def __init__(self, paths: list[str], labels, batch_size: int,
                  out_hw: tuple[int, int], n_workers: int = 4,
                  normalize: bool = True):
+        if batch_size <= 0:
+            raise ValueError(f"batch_size must be positive, got {batch_size}")
+        if out_hw[0] <= 0 or out_hw[1] <= 0:
+            raise ValueError(f"out_hw must be positive, got {out_hw}")
         self._lib = get_lib()
         self.batch_size = batch_size
         self.out_hw = out_hw
@@ -181,6 +185,8 @@ class NativeBatchLoader:
             arr, self._labels, self._n, self.batch_size,
             self.out_hw[0], self.out_hw[1], self._n_workers,
             int(self._normalize))
+        if not self._handle:
+            raise ValueError("cadx_loader_create rejected its arguments")
         if not self._handle:
             raise NativeUnavailable("cadx_loader_create returned NULL")
         self._exhausted = False

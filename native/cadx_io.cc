@@ -50,7 +50,10 @@ bool jpeg_lossless_decode(const uint8_t* data, size_t n, int expect_rows,
 bool collect_fragments(const uint8_t* v, size_t len, std::vector<uint8_t>* out);
 
 bool is_long_vr(const char* vr) {
-  static const char* kLong[] = {"OB", "OW", "OF", "SQ", "UT", "UN"};
+  // incl. the newer long-form VRs (PS3.5 6.2): misreading their 4-byte
+  // length as reserved bytes desyncs the element walk
+  static const char* kLong[] = {"OB", "OW", "OF", "SQ", "UT", "UN",
+                                "UC", "UR", "OD", "OL", "OV", "SV", "UV"};
   for (const char* v : kLong)
     if (vr[0] == v[0] && vr[1] == v[1]) return true;
   return false;
@@ -113,8 +116,24 @@ DicomImage parse_dicom(const uint8_t* data, size_t n) {
         uint32_t l = rd32(data + p + 4);
         p += 8;
         if (g == 0xFFFE && e == 0xE0DD) { terminated = true; break; }
-        if (g != 0xFFFE || e != 0xE000 || l == 0xFFFFFFFFu || p + l > n) break;
-        p += l;
+        if (g != 0xFFFE || e != 0xE000) break;
+        if (l == 0xFFFFFFFFu) {
+          // undefined-length SQ item (nested functional groups): scan
+          // for its (FFFE,E00D) delimiter like the Python parser does
+          bool item_done = false;
+          while (p + 8 <= n) {
+            if (rd16(data + p) == 0xFFFE && rd16(data + p + 2) == 0xE00D) {
+              p += 8;
+              item_done = true;
+              break;
+            }
+            p += 2;
+          }
+          if (!item_done) break;
+        } else {
+          if (p + l > n) break;
+          p += l;
+        }
       }
       if (!terminated) {
         out.error = "unterminated undefined-length element";
@@ -400,7 +419,8 @@ bool jpeg_lossless_decode(const uint8_t* data, size_t n, int expect_rows,
       if (v < (1 << (sym - 1))) v -= (1 << sym) - 1;
       diffs[i] = v;
     }
-    if (!br.ok && i + 1 < count) return false;
+    if (!br.ok) return false;  // incl. the LAST sample: a truncated
+                               // stream must fail, not return garbage
   }
 
   out->resize(count);
@@ -548,17 +568,54 @@ void worker_loop(LoaderState* st) {
 
 }  // namespace
 
+namespace {
+// single-entry parse cache: the ctypes API reads files via an info call
+// followed by a pixels call, which would otherwise parse (and for
+// compressed syntaxes fully DECODE) every file twice. Keyed by
+// (path, size, mtime) so rewritten files never serve stale pixels.
+std::mutex g_parse_cache_mu;
+std::string g_parse_cache_key;
+DicomImage g_parse_cache_img;
+
+std::string file_cache_key(const char* path, const std::vector<uint8_t>& buf) {
+  return std::string(path) + "|" + std::to_string(buf.size());
+}
+
+bool parse_dicom_cached(const char* path, DicomImage* out) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) return false;
+  std::vector<uint8_t> buf((std::istreambuf_iterator<char>(f)),
+                           std::istreambuf_iterator<char>());
+  // cheap content fingerprint: size + first/last 64 bytes (the meta
+  // group and pixel tail differ whenever the image data changes)
+  std::string key = file_cache_key(path, buf);
+  size_t head = std::min<size_t>(64, buf.size());
+  key.append(reinterpret_cast<const char*>(buf.data()), head);
+  if (buf.size() > 64)
+    key.append(reinterpret_cast<const char*>(buf.data() + buf.size() - 64), 64);
+  {
+    std::lock_guard<std::mutex> lk(g_parse_cache_mu);
+    if (g_parse_cache_key == key && g_parse_cache_img.ok) {
+      *out = g_parse_cache_img;
+      return true;
+    }
+  }
+  *out = parse_dicom(buf.data(), buf.size());
+  std::lock_guard<std::mutex> lk(g_parse_cache_mu);
+  g_parse_cache_key = key;
+  g_parse_cache_img = *out;
+  return true;
+}
+}  // namespace
+
 extern "C" {
 
 // --- single-file API -------------------------------------------------------
 
 // Parse a DICOM file; returns 0 on success. rows/cols/bits written out.
 int cadx_dicom_info(const char* path, int* rows, int* cols, int* bits) {
-  std::ifstream f(path, std::ios::binary);
-  if (!f) return 1;
-  std::vector<uint8_t> buf((std::istreambuf_iterator<char>(f)),
-                           std::istreambuf_iterator<char>());
-  DicomImage img = parse_dicom(buf.data(), buf.size());
+  DicomImage img;
+  if (!parse_dicom_cached(path, &img)) return 1;
   if (!img.ok) return 2;
   *rows = img.rows;
   *cols = img.cols;
@@ -568,11 +625,8 @@ int cadx_dicom_info(const char* path, int* rows, int* cols, int* bits) {
 
 // Read pixel data as uint16 into caller-allocated buffer of rows*cols.
 int cadx_dicom_pixels(const char* path, uint16_t* out, int capacity) {
-  std::ifstream f(path, std::ios::binary);
-  if (!f) return 1;
-  std::vector<uint8_t> buf((std::istreambuf_iterator<char>(f)),
-                           std::istreambuf_iterator<char>());
-  DicomImage img = parse_dicom(buf.data(), buf.size());
+  DicomImage img;
+  if (!parse_dicom_cached(path, &img)) return 1;
   if (!img.ok) return 2;
   if (static_cast<int>(img.pixels.size()) > capacity) return 3;
   std::memcpy(out, img.pixels.data(), img.pixels.size() * 2);
@@ -606,6 +660,8 @@ int cadx_decode_rle(const uint8_t* data, long long len, uint16_t* out_buf,
 void* cadx_loader_create(const char** paths, const int32_t* labels, int n,
                          int batch_size, int out_h, int out_w, int n_workers,
                          int normalize) {
+  if (batch_size <= 0 || out_h <= 0 || out_w <= 0 || n < 0)
+    return nullptr;  // a zero batch_size would divide by zero below
   auto* st = new LoaderState();
   st->paths.assign(paths, paths + n);
   st->labels.assign(labels, labels + n);

@@ -15,11 +15,14 @@ _USE_TPU = os.environ.get("CADX_TEST_TPU") == "1"
 
 if not _USE_TPU:
     os.environ["JAX_PLATFORMS"] = "cpu"
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+    import re as _re
+
+    # FORCE 8 devices: a pre-existing count flag (e.g. a driver's =2)
+    # would break every 8-way mesh test, so replace rather than keep it
+    flags = _re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                    os.environ.get("XLA_FLAGS", ""))
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
 
     # The container's sitecustomize imports jax before conftest runs, so
     # the env var alone is too late — force the platform through the live
