@@ -182,7 +182,15 @@ def test_watershed_agrees_with_cv2_iou():
         b = ref_markers == lbl
         iou = (a & b).sum() / max((a | b).sum(), 1)
         assert iou > 0.9, f"label {lbl} IoU {iou}"
-    assert np.asarray(boundary).sum() > 0
+    # boundary vs cv2's -1 ridge set: includes the 1-px frame cv2 always
+    # marks (geodesic_scan.label_boundary); interior ridge placement may
+    # differ by flood-queue tie-breaking (measured 0.88 on this fixture)
+    bnd = np.asarray(boundary)
+    ref_bnd = ref_markers == -1
+    bnd_iou = (bnd & ref_bnd).sum() / max((bnd | ref_bnd).sum(), 1)
+    assert bnd_iou > 0.8, f"boundary IoU vs cv2 {bnd_iou}"
+    for edge in (bnd[0], bnd[-1], bnd[:, 0], bnd[:, -1]):
+        assert edge.all(), "cv2's 1-px frame ridge must be present"
 
 
 def test_to_uint8_and_relative_threshold():
