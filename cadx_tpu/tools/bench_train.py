@@ -30,6 +30,20 @@ _T0 = time.time()
 
 
 def main():
+    import importlib.util as _ilu
+    import os as _os
+
+    spec = _ilu.spec_from_file_location(
+        "_bench", _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.dirname(_os.path.abspath(__file__)))), "bench.py"))
+    if spec and _os.path.exists(spec.origin):
+        _bench = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(_bench)
+        if not _bench._tunnel_preflight(attempts=3):
+            print(json.dumps({"error": "TPU tunnel unreachable "
+                              "(see bench.py preflight)"}))
+            return
+
     from cadx_tpu.models import cnn
     from cadx_tpu.train import step
 
