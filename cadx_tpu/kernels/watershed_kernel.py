@@ -29,9 +29,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cadx_tpu.ops import geodesic_scan as G
 
-_BIG = G.BIG
-_SHIFTS = ((1, 0), (-1, 0), (0, 1), (0, -1))
-
 
 def _shift(x, dy: int, dx: int, fill):
     """pltpu.roll-based shift matching ops.watershed._shift semantics.
