@@ -413,3 +413,39 @@ def test_dcmread_truncation_and_mutation_fuzz(mammo16, rng):
                 dicom.dcmread(bytes(b)).pixel_array
             except dicom.DicomError:
                 pass
+
+
+def test_primary_frame_pydicom_style_objects(mammo16):
+    """primary_frame's documented contract: any object with a
+    pydicom-style pixel_array — NumberOfFrames attribute (no get_is)
+    strips the frame axis; RGB (no frame axis) converts via rec601."""
+    class FakeMulti:
+        NumberOfFrames = "2"  # pydicom IS values are often strings
+        pixel_array = np.stack([mammo16, mammo16 // 2])
+
+    out = dicom.primary_frame(FakeMulti())
+    np.testing.assert_array_equal(out, mammo16)
+
+    class FakeRGB:
+        pixel_array = np.stack([mammo16 >> 8] * 3, axis=-1).astype(np.uint8)
+
+    out = dicom.primary_frame(FakeRGB())
+    assert out.shape == mammo16.shape  # luma of equal channels == channel
+    np.testing.assert_array_equal(out, (mammo16 >> 8).astype(np.uint8))
+
+    class FakeSingle:
+        pixel_array = mammo16
+
+    np.testing.assert_array_equal(dicom.primary_frame(FakeSingle()), mammo16)
+    # arr= reuse path: no second pixel_array access
+    class Counting:
+        n = 0
+        @property
+        def pixel_array(self):
+            type(self).n += 1
+            return mammo16
+    c = Counting()
+    pre = c.pixel_array
+    assert Counting.n == 1
+    np.testing.assert_array_equal(dicom.primary_frame(c, arr=pre), mammo16)
+    assert Counting.n == 1
