@@ -100,8 +100,10 @@ def test_remove_pectoral_parity(ref_preprocessor, mammo):
     res = cleaner.remove_pectoral(jnp.asarray(seg), jnp.asarray(mask),
                                   0.8, 3, 7, 25)
     assert (ref_breast_only > 0).sum() > 500, "oracle mask degenerate"
-    # breast-tissue masks agree within watershed tolerance
-    assert _iou(res.breast_only_mask, ref_breast_only > 0) > 0.9
+    # breast-tissue masks agree within watershed tolerance (measured
+    # 0.9725 on this fixture once the cv2 border ridge was reproduced;
+    # the remaining gap is interior flood-queue tie-breaking)
+    assert _iou(res.breast_only_mask, ref_breast_only > 0) > 0.95
     # equalized image identical (deterministic stage)
     ref_equ = cv2.equalizeHist(seg)
     np.testing.assert_array_equal(np.asarray(res.img_equ), ref_equ)
