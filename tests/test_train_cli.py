@@ -66,3 +66,18 @@ def test_train_cli_kfold(tmp_path, rng):
     ])
     assert agg["n_splits"] == 2
     assert os.path.exists(os.path.join(out, "crossval_summary.json"))
+
+
+def test_train_cli_bf16_compute(tmp_path, rng):
+    """--bf16-compute end-to-end through the CLI (advanced/adam path):
+    artifacts written, model still learns the easy bright-square task."""
+    cp = _make_dataset(tmp_path, rng)
+    out = str(tmp_path / "out_bf16")
+    s = train_cli.main([
+        "--csv", cp, "--out-dir", out, "--pipeline", "advanced",
+        "--features", "raw", "--resize", "24", "--epochs", "5",
+        "--batch-size", "8", "--conv-layers", "4x3",
+        "--hidden-units", "16", "--dropout", "0.0", "--bf16-compute",
+    ])
+    assert os.path.exists(os.path.join(out, "cnn_model_advanced.npz"))
+    assert s["evaluation"]["test_accuracy"] >= 0.8
