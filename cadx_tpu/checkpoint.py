@@ -43,7 +43,11 @@ def save_npz(params: dict, config: CNNConfig, path: str) -> None:
         arrays[f"b{li}"] = np.asarray(layer["bias"])
     arrays[f"W{idx['output']}"] = np.asarray(params["output"]["kernel"]).T
     arrays[f"b{idx['output']}"] = np.asarray(params["output"]["bias"])
-    np.savez(path, config=json.dumps(config.to_json_dict()), **arrays)
+    # write through a file object: np.savez(str_path) silently APPENDS
+    # ".npz" when missing, landing the checkpoint at a different filename
+    # than the caller asked for (a later load of the same path fails)
+    with open(path, "wb") as f:
+        np.savez(f, config=json.dumps(config.to_json_dict()), **arrays)
 
 
 def load_npz(path: str, dtype=jnp.float32) -> tuple[CNNConfig, dict]:
@@ -51,31 +55,33 @@ def load_npz(path: str, dtype=jnp.float32) -> tuple[CNNConfig, dict]:
     try:
         # allow_pickle=False: the reference schema is pickle-free (config
         # is a plain string array, weights numeric) and serve/tools pass
-        # user-supplied paths here — pickle would mean arbitrary code exec
-        data = np.load(path, allow_pickle=False)
-        config = CNNConfig.from_json_dict(json.loads(str(data["config"])))
-        idx = config.layer_indices()
-        params: dict[str, Any] = {"conv": [], "dense": []}
-        for li in idx["conv"]:
-            params["conv"].append(
-                {
-                    "kernel": jnp.asarray(data[f"W{li}"], dtype).transpose(1, 2, 3, 0),
-                    "bias": jnp.asarray(data[f"b{li}"], dtype),
-                }
-            )
-        for li in idx["dense"]:
-            params["dense"].append(
-                {
-                    "kernel": jnp.asarray(data[f"W{li}"], dtype).T,
-                    "bias": jnp.asarray(data[f"b{li}"], dtype),
-                }
-            )
-        li = idx["output"]
-        params["output"] = {
-            "kernel": jnp.asarray(data[f"W{li}"], dtype).T,
-            "bias": jnp.asarray(data[f"b{li}"], dtype),
-        }
-        return config, params
+        # user-supplied paths here — pickle would mean arbitrary code exec.
+        # `with` closes the NpzFile's zip handle (one fd leaked per load
+        # otherwise)
+        with np.load(path, allow_pickle=False) as data:
+            config = CNNConfig.from_json_dict(json.loads(str(data["config"])))
+            idx = config.layer_indices()
+            params: dict[str, Any] = {"conv": [], "dense": []}
+            for li in idx["conv"]:
+                params["conv"].append(
+                    {
+                        "kernel": jnp.asarray(data[f"W{li}"], dtype).transpose(1, 2, 3, 0),
+                        "bias": jnp.asarray(data[f"b{li}"], dtype),
+                    }
+                )
+            for li in idx["dense"]:
+                params["dense"].append(
+                    {
+                        "kernel": jnp.asarray(data[f"W{li}"], dtype).T,
+                        "bias": jnp.asarray(data[f"b{li}"], dtype),
+                    }
+                )
+            li = idx["output"]
+            params["output"] = {
+                "kernel": jnp.asarray(data[f"W{li}"], dtype).T,
+                "bias": jnp.asarray(data[f"b{li}"], dtype),
+            }
+            return config, params
     except OSError:
         raise  # environment problem (missing/unreadable), not a format one
     except Exception as e:  # zip/pickle/json/KeyError internals are cryptic
@@ -119,9 +125,30 @@ def restore_key(obj):
     return jnp.asarray(obj)
 
 
+class _RestrictedUnpickler(pickle.Unpickler):
+    """Unpickler that only resolves numeric-container classes: the train
+    state is numpy leaves inside dict/list/optax-namedtuple structure, so
+    nothing outside numpy/optax/jax/builtins containers is legitimate.
+    A crafted train_state.pkl naming e.g. os.system therefore fails to
+    load instead of executing (load_npz's allow_pickle=False hardening,
+    applied to the sibling loader)."""
+
+    _SAFE_BUILTINS = {"dict", "list", "tuple", "set", "frozenset",
+                      "complex", "bytearray", "slice"}
+
+    def find_class(self, module, name):
+        root = module.split(".")[0]
+        if root in ("numpy", "optax", "jax", "collections", "flax", "chex"):
+            return super().find_class(module, name)
+        if module == "builtins" and name in self._SAFE_BUILTINS:
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"train-state checkpoints may not reference {module}.{name}")
+
+
 def load_train_state(path: str) -> Any:
     with open(path, "rb") as f:
-        return pickle.load(f)
+        return _RestrictedUnpickler(f).load()
 
 
 # ---------------------------------------------------------------------------

@@ -42,12 +42,10 @@ def advanced_config_from_summary(summary: dict) -> cnn.CNNConfig:
 
 
 def _flatten_hwc(config: cnn.CNNConfig) -> tuple[int, int, int]:
-    h, w, c = config.input_shape
-    for f, k in config.conv_layers:
-        if config.conv_padding == "VALID":
-            h, w = h - k + 1, w - k + 1
-        h, w, c = h // 2, w // 2, f
-    return h, w, c
+    """Post-final-pool (h, w, c) — derived from CNNConfig's own shape
+    walk rather than a fourth copy of the conv/pool arithmetic."""
+    h, w, f = config.conv_output_shapes()[-1]
+    return h // 2, w // 2, f
 
 
 def params_from_torch_state_dict(state_dict: dict, config: cnn.CNNConfig) -> dict:

@@ -156,15 +156,26 @@ class TinyUNetModel:
 
     def fit(self, x, y=None, epochs: int = 5, batch_size: int = 8,
             verbose: bool = False):
+        """Keras-style fit. y defaults to x (the reference trains the
+        autoencoder against its input, Preprocessing.py:241-245) but an
+        explicit target (e.g. denoising) is honored, not ignored."""
         import optax
 
         x = np.asarray(x, dtype=np.float32)
+        y = x if y is None else np.asarray(y, dtype=np.float32)
+        if y.shape != x.shape:
+            raise ValueError(f"y shape {y.shape} != x shape {x.shape}")
+        if len(x) == 0:
+            return []
         tx = optax.adam(self._lr)
         opt_state = tx.init(self.params)
 
         @jax.jit
-        def train_step(params, opt_state, xb):
-            loss, grads = jax.value_and_grad(_unet.tiny_unet_mse)(params, xb)
+        def train_step(params, opt_state, xb, yb):
+            def loss_fn(p):
+                return jnp.mean((_unet.tiny_unet_apply(p, xb) - yb) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = tx.update(grads, opt_state)
             return optax.apply_updates(params, updates), opt_state, loss
 
@@ -173,7 +184,9 @@ class TinyUNetModel:
             losses, weights = [], []
             for i in range(0, len(x), batch_size):
                 xb = jnp.asarray(x[i : i + batch_size])
-                self.params, opt_state, loss = train_step(self.params, opt_state, xb)
+                yb = jnp.asarray(y[i : i + batch_size])
+                self.params, opt_state, loss = train_step(
+                    self.params, opt_state, xb, yb)
                 losses.append(loss)          # device scalars; fetch once/epoch
                 weights.append(float(len(xb)))
             total = float(jnp.stack(losses) @ jnp.asarray(weights, jnp.float32))
@@ -186,7 +199,8 @@ class TinyUNetModel:
         x = np.asarray(x, dtype=np.float32)
         outs = [np.asarray(_unet.tiny_unet_apply(self.params, jnp.asarray(x[i : i + batch_size])))
                 for i in range(0, len(x), batch_size)]
-        return np.concatenate(outs) if outs else np.zeros((0,))
+        return (np.concatenate(outs) if outs
+                else np.zeros((0,) + tuple(x.shape[1:]), np.float32))
 
     def bottleneck_features(self, x, batch_size: int = 32):
         """The reference's bottleneck_model.predict (Preprocessing.py:247-248)."""
@@ -493,13 +507,21 @@ class Model:
 class ModelEvaluator:
     def __init__(self, model: CNNModel):
         self.model = model
+        self._cache: tuple | None = None  # (X, y, result) by identity
 
     def evaluate(self, X_test, y_test) -> dict:
-        y_test = np.asarray(y_test)
-        y_labels = y_test if y_test.ndim == 1 else np.argmax(y_test, -1)
+        # identity-keyed memo (strong refs keep ids valid): calling the
+        # three reference-style accessors on one test set must not run
+        # full inference three times (each pass costs real device time)
+        if self._cache is not None and self._cache[0] is X_test                 and self._cache[1] is y_test:
+            return self._cache[2]
+        y_arr = np.asarray(y_test)
+        y_labels = y_arr if y_arr.ndim == 1 else np.argmax(y_arr, -1)
         y_pred = self.model.predict_batch(X_test)
-        return _metrics.evaluation_block(y_labels, y_pred,
-                                         self.model.config.num_classes)
+        result = _metrics.evaluation_block(y_labels, y_pred,
+                                           self.model.config.num_classes)
+        self._cache = (X_test, y_test, result)
+        return result
 
     def accuracy(self, X_test, y_test) -> float:
         return self.evaluate(X_test, y_test)["test_accuracy"]
@@ -573,14 +595,20 @@ class ExplainableAI:
         return self.heatmap
 
     def overlay_heatmap(self, image, heatmap=None, alpha: float = 0.5):
+        """RGB uint8 overlay. Float images in [0,1] (the normalized model
+        input this class operates on) are scaled to 0-255 first — a raw
+        uint8 truncation would blank the base image entirely."""
         from cadx_tpu.ops.colormap import add_weighted, apply_jet, normalize_to_u8
 
         hm = jnp.asarray(heatmap if heatmap is not None else self.heatmap)
         img = np.asarray(image)
         if img.dtype != np.uint8:
+            img = np.asarray(img, np.float64)
+            if img.size and img.max() <= 1.0 + 1e-6:
+                img = img * 255.0
             img = np.clip(img, 0, 255).astype(np.uint8)
         hm_u8 = normalize_to_u8(hm)
-        heat = apply_jet(hm_u8)
+        heat = apply_jet(hm_u8)[..., ::-1]  # BGR LUT -> RGB for display
         heat = jnp.clip(jnp.round(_resize_linear(
             heat.astype(jnp.float32), img.shape[:2])), 0, 255).astype(jnp.uint8)
         img3 = jnp.asarray(img if img.ndim == 3 else np.stack([img] * 3, -1))

@@ -110,12 +110,13 @@ def normalize_images(images: np.ndarray, mode: str = "unit") -> np.ndarray:
     """'unit': scale to [0,1] by per-image max; 'standard': zero-mean/unit-var
     per image (the two normalizations used across the reference scripts)."""
     images = images.astype(np.float32)
+    # reduce over ALL non-batch axes so (B,H,W) and (B,H,W,C) both work
+    axes = tuple(range(1, images.ndim))
     if mode == "unit":
-        maxv = images.reshape(len(images), -1).max(axis=1)
-        maxv = np.maximum(maxv, 1e-8)[:, None, None]
+        maxv = np.maximum(images.max(axis=axes, keepdims=True), 1e-8)
         return images / maxv
-    mean = images.mean(axis=(1, 2), keepdims=True)
-    std = images.std(axis=(1, 2), keepdims=True) + 1e-8
+    mean = images.mean(axis=axes, keepdims=True)
+    std = images.std(axis=axes, keepdims=True) + 1e-8
     return (images - mean) / std
 
 
