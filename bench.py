@@ -192,6 +192,7 @@ def main():
     config = fused.PipelineConfig(
         image_hw=(hw, hw),
         feature_hw=(32, 32),
+        feature_dtype="bfloat16",  # measured 1.2ms/96-batch win; opt-in
         classifier=cnn.CNNConfig(
             input_shape=(32, 32, 64),
             num_classes=2,

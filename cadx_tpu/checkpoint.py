@@ -126,22 +126,47 @@ def restore_key(obj):
 
 
 class _RestrictedUnpickler(pickle.Unpickler):
-    """Unpickler that only resolves numeric-container classes: the train
-    state is numpy leaves inside dict/list/optax-namedtuple structure, so
-    nothing outside numpy/optax/jax/builtins containers is legitimate.
-    A crafted train_state.pkl naming e.g. os.system therefore fails to
-    load instead of executing (load_npz's allow_pickle=False hardening,
-    applied to the sibling loader)."""
+    """Unpickler that only resolves the exact reconstructors a saved train
+    state needs: numpy array/dtype/scalar rebuilding, optax *namedtuple*
+    state classes, and plain builtin containers. save_train_state converts
+    every jax.Array (incl. PRNG keys) to numpy/dict first, so nothing else
+    is legitimate. Whole-module-root allowlists are NOT safe: e.g.
+    numpy.testing._private.utils.runstring is a plain exec wrapper, so a
+    crafted pickle rooted anywhere in numpy could still execute code
+    (round-3 advisor finding). Exact names + a tuple-subclass proof for
+    optax close that hole; test_checkpoint pins gadget rejection."""
 
     _SAFE_BUILTINS = {"dict", "list", "tuple", "set", "frozenset",
                       "complex", "bytearray", "slice"}
+    # numpy's pickle reduce functions moved from numpy.core to numpy._core
+    # across versions; accept both spellings of the same reconstructors.
+    _SAFE_EXACT = {
+        ("numpy._core.multiarray", "_reconstruct"),
+        ("numpy.core.multiarray", "_reconstruct"),
+        ("numpy._core.multiarray", "scalar"),
+        ("numpy.core.multiarray", "scalar"),
+        ("numpy._core.numeric", "_frombuffer"),
+        ("numpy.core.numeric", "_frombuffer"),
+        ("numpy", "ndarray"),
+        ("numpy", "dtype"),
+        ("numpy.dtypes", None),  # dtype classes (numpy>=1.25 pickling)
+        ("collections", "OrderedDict"),
+    }
 
     def find_class(self, module, name):
-        root = module.split(".")[0]
-        if root in ("numpy", "optax", "jax", "collections", "flax", "chex"):
+        if (module, name) in self._SAFE_EXACT or (module, None) in self._SAFE_EXACT:
             return super().find_class(module, name)
         if module == "builtins" and name in self._SAFE_BUILTINS:
             return super().find_class(module, name)
+        if module.split(".")[0] == "optax":
+            # optax optimizer states are namedtuples of arrays; a
+            # namedtuple class is a tuple subclass whose construction
+            # runs no user code. Resolve, then require that proof.
+            cls = super().find_class(module, name)
+            if isinstance(cls, type) and issubclass(cls, tuple):
+                return cls
+            raise pickle.UnpicklingError(
+                f"optax reference {module}.{name} is not a namedtuple state")
         raise pickle.UnpicklingError(
             f"train-state checkpoints may not reference {module}.{name}")
 

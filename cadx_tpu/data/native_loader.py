@@ -186,8 +186,8 @@ class NativeBatchLoader:
             self.out_hw[0], self.out_hw[1], self._n_workers,
             int(self._normalize))
         if not self._handle:
-            raise ValueError("cadx_loader_create rejected its arguments")
-        if not self._handle:
+            # NativeUnavailable (not ValueError) so callers' native-fallback
+            # except clauses still fire on a NULL handle
             raise NativeUnavailable("cadx_loader_create returned NULL")
         self._exhausted = False
 

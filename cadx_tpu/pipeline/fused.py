@@ -41,11 +41,12 @@ class PipelineConfig:
     classes_to_explain: tuple[int, ...] = (0, 1)
     # HBM storage dtype for the encoder's (B, H/2, W/2, 64) feature maps —
     # the pipeline's single biggest intermediate (402MB f32 at 96x256^2).
-    # bfloat16 fuses the down-cast into the conv epilogue and the up-cast
+    # "bfloat16" fuses the down-cast into the conv epilogue and the up-cast
     # into the resize gather: 1.2ms/96-batch measured win; probabilities
     # drift O(1e-3), far inside the reference-composed tolerance (0.05).
-    # Set "float32" for bit-exact f32 feature storage.
-    feature_dtype: str = "bfloat16"
+    # OPT-IN like every other bf16 path (bench/serving set it); the
+    # default stays bit-exact f32 (round-3 advisor finding).
+    feature_dtype: str = "float32"
     classifier: cnn.CNNConfig = dataclasses.field(
         default_factory=lambda: cnn.CNNConfig(
             input_shape=(32, 32, 64),
@@ -134,8 +135,9 @@ def run_pipeline(params: PipelineParams, batch_u8: jax.Array,
     """batch_u8: (B, H, W) uint8/uint16 raw mammograms at config.image_hw."""
     clean01 = jax.vmap(_clean_one)(batch_u8)                  # (B, H, W)
     feats = unet.encoder_first_features(params.encoder, clean01[..., None])
-    # store the big feature planes at config.feature_dtype (bf16 default,
-    # see PipelineConfig) and return to f32 in-registers for the resize
+    # store the big feature planes at config.feature_dtype (f32 default;
+    # bench/serving opt into bf16) and return to f32 in-registers for the
+    # resize
     feats = feats.astype(jnp.dtype(config.feature_dtype))
     # perf-gate note: the MXU matmul form (_resize_feats_mxu) measured
     # slightly WORSE here in-program twice (29.86 vs 29.65 and 25.39 vs

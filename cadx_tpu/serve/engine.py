@@ -353,6 +353,9 @@ class InferenceEngine:
             image_hw=self.config.segment_hw,
             feature_hw=self.config.feature_resize,
             classes_to_explain=(),          # explanations stay per-case
+            feature_dtype="bfloat16",       # bulk path opts into the
+            # measured bf16 feature-storage win (prob drift O(1e-3), inside
+            # the serving tolerance); per-case paths stay f32
             classifier=self.config.basic_classifier,
         )
         params = fused.PipelineParams(

@@ -21,8 +21,11 @@ import json
 import sys
 
 
-def summarize(trace_dir: str, top: int = 25) -> list[tuple[str, float, int]]:
-    """[(event name, total device ms, count)] sorted by total time."""
+def summarize(
+    trace_dir: str, top: int = 25
+) -> tuple[list[tuple[str, float, int]], float]:
+    """([(event name, total device ms, count)] sorted by total time,
+    total device ms across ALL programs — not just the top-N shown)."""
     paths = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True))
     if not paths:
         raise FileNotFoundError(f"no *.trace.json.gz under {trace_dir}")

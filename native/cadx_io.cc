@@ -14,6 +14,8 @@
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 -pthread cadx_io.cc -o libcadx_io.so
 
+#include <sys/stat.h>
+
 #include <algorithm>
 #include <atomic>
 #include <condition_variable>
@@ -578,7 +580,18 @@ std::string g_parse_cache_key;
 DicomImage g_parse_cache_img;
 
 std::string file_cache_key(const char* path, const std::vector<uint8_t>& buf) {
-  return std::string(path) + "|" + std::to_string(buf.size());
+  std::string key = std::string(path) + "|" + std::to_string(buf.size());
+  // stat identity: a rewritten file with identical size/head/tail bytes
+  // must still miss the cache (round-3 advisor finding)
+  struct stat st;
+  if (stat(path, &st) == 0) {
+    key += "|" + std::to_string(static_cast<long long>(st.st_mtime)) + "." +
+           std::to_string(static_cast<long long>(st.st_ino));
+#ifdef __linux__
+    key += "." + std::to_string(static_cast<long long>(st.st_mtim.tv_nsec));
+#endif
+  }
+  return key;
 }
 
 bool parse_dicom_cached(const char* path, DicomImage* out) {
@@ -586,8 +599,8 @@ bool parse_dicom_cached(const char* path, DicomImage* out) {
   if (!f) return false;
   std::vector<uint8_t> buf((std::istreambuf_iterator<char>(f)),
                            std::istreambuf_iterator<char>());
-  // cheap content fingerprint: size + first/last 64 bytes (the meta
-  // group and pixel tail differ whenever the image data changes)
+  // stat identity + cheap content fingerprint: first/last 64 bytes (the
+  // meta group and pixel tail differ whenever the image data changes)
   std::string key = file_cache_key(path, buf);
   size_t head = std::min<size_t>(64, buf.size());
   key.append(reinterpret_cast<const char*>(buf.data()), head);

@@ -141,6 +141,58 @@ def test_fit_resume(tmp_path, rng):
         assert a["val_acc"] == pytest.approx(b["val_acc"])
 
 
+def test_train_state_unpickler_rejects_gadgets(tmp_path):
+    """The restricted unpickler must reject code-execution gadgets even
+    when they are rooted inside allowlisted-looking packages (numpy's
+    runstring is a plain exec wrapper), while still round-tripping real
+    optimizer states (round-3 advisor finding, checkpoint.py)."""
+    import io
+    import pickle
+
+    import optax
+
+    from cadx_tpu import checkpoint as ck
+
+    params = {"W0": jnp.ones((3, 3)), "b0": jnp.zeros(3)}
+    state = {
+        "params": params,
+        "opt_state": optax.adam(1e-3).init(params),
+        "best_acc": np.float32(0.5),
+        "dropout_key": jax.random.key(0),
+        "host_rng_state": np.random.default_rng(0).bit_generator.state,
+    }
+    sp = str(tmp_path / "state.pkl")
+    ck.save_train_state(sp, state)
+    st = ck.load_train_state(sp)
+    assert st["best_acc"] == np.float32(0.5)
+    assert np.allclose(st["params"]["W0"], 1.0)
+    ck.restore_key(st["dropout_key"])  # PRNG key rehydrates
+
+    class _NumpyGadget:
+        def __reduce__(self):
+            import numpy.testing._private.utils as u
+
+            return (u.runstring, ("raise SystemExit", {}))
+
+    class _OsGadget:
+        def __reduce__(self):
+            import os as _os
+
+            return (_os.system, ("true",))
+
+    for gadget in (_NumpyGadget(), _OsGadget()):
+        buf = pickle.dumps(gadget)
+        with pytest.raises(pickle.UnpicklingError):
+            ck._RestrictedUnpickler(io.BytesIO(buf)).load()
+
+    # an optax-module reference that is NOT a namedtuple state must fail
+    # (functions like optax.scale would otherwise be callable via REDUCE)
+    up = ck._RestrictedUnpickler(io.BytesIO(b""))
+    with pytest.raises(pickle.UnpicklingError):
+        up.find_class("optax._src.transform", "scale")
+    assert up.find_class("optax", "EmptyState") is optax.EmptyState
+
+
 def test_dp_pipeline_on_mesh(rng):
     if jax.device_count() < 8:
         pytest.skip("needs an 8-device mesh")

@@ -41,6 +41,28 @@ def test_native_dicom_uint8(tmp_path, rng):
     np.testing.assert_array_equal(out, img.astype(np.uint16))
 
 
+def test_parse_cache_misses_on_rewrite(tmp_path, rng):
+    """A rewritten file with identical size, header, and tail bytes must
+    not serve stale cached pixels (round-3 advisor finding: the cache key
+    now carries stat mtime/inode, not just size + head/tail bytes)."""
+    img = rng.integers(0, 4096, (64, 64), dtype=np.uint16)
+    p = str(tmp_path / "c.dcm")
+    dicom.dcmwrite_minimal(p, img)
+    first = nl.read_dicom_pixels(p)  # populates the single-entry cache
+    np.testing.assert_array_equal(first, img)
+
+    # same shape => same file size and identical meta-group head; flip
+    # only interior pixels so the first/last 64 bytes stay byte-identical
+    img2 = img.copy()
+    img2[16:48, 16:48] = (img2[16:48, 16:48] + 1) % 4096
+    dicom.dcmwrite_minimal(p, img2)
+    # force a distinct mtime even if both writes land in one clock tick
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    second = nl.read_dicom_pixels(p)
+    np.testing.assert_array_equal(second, img2)
+
+
 def test_batch_loader_full_epoch(dicom_files):
     paths, labels, arrays = dicom_files
     loader = nl.NativeBatchLoader(paths, labels, batch_size=3, out_hw=(16, 16))

@@ -28,6 +28,8 @@ def _tiny_config():
     return fused.PipelineConfig(
         image_hw=(64, 64),
         feature_hw=(16, 16),
+        feature_dtype="bfloat16",  # exercise the opt-in bench/serving mode;
+        # the f32 default is re-checked explicitly in the stages test
         classifier=cnn.CNNConfig(
             input_shape=(16, 16, 64),
             num_classes=2,
@@ -69,7 +71,7 @@ def test_pipeline_stages_consistent_with_components(rng):
     from cadx_tpu.ops.resize import resize_linear
 
     feats = unet.encoder_first_features(params.encoder, clean01[..., None])
-    # the pipeline stores features at config.feature_dtype (bf16 default)
+    # the pipeline stores features at config.feature_dtype (bf16 here)
     feats_cast = feats.astype(jnp.dtype(config.feature_dtype))
     feats_small = jax.vmap(
         lambda f: resize_linear(f.astype(jnp.float32), (16, 16)))(feats_cast)
