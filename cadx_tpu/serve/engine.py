@@ -35,6 +35,53 @@ from cadx_tpu.xai import gradcam
 CLASS_MAP = {0: "Benign", 1: "Malignant", 2: "Normal"}
 
 
+@functools.partial(jax.jit, static_argnames=("config", "class_indices"))
+def _fused_request(params, feats_in, config: cnn.CNNConfig,
+                   class_indices: tuple[int, ...]):
+    """ONE program for a classify/roi request: CNN forward, predicted-class
+    Grad-CAM ROI (traced argmax — no host sync), and per-class CAM ROIs,
+    packed into a single small f32 vector so the route pays exactly one
+    device dispatch and one host fetch (round-3 verdict #2: the tunneled
+    runtime charges ~25-30ms PER fetch; the old path made 3 dispatches
+    with an int(argmax) sync between them).
+
+    Layout: [probs(num_classes) | pred | roi_pred(4) | rois(4 per class)]
+    where each roi is (top, left, height, width) from xai.roi.roi_from_cam.
+    """
+    from cadx_tpu.xai.gradcam import cam_from_acts_grads, conv_features, \
+        head_logits
+    from cadx_tpu.xai.roi import roi_from_cam
+
+    x = feats_in[None].astype(jnp.float32)
+    probs = cnn.forward(params, x, config)[0]
+    pred = jnp.argmax(probs)
+    acts = conv_features(params, x, config)
+    _, vjp_fn = jax.vjp(lambda a: head_logits(params, a, config), acts)
+
+    def cam_for_seed(seed_row):
+        (grads,) = vjp_fn(seed_row[None])
+        return cam_from_acts_grads(acts, grads)[0]
+
+    # predicted class: one-hot of the traced argmax (identical numerics to
+    # gradcam_map's static zeros().at[idx].set(1.0) seed)
+    cam_pred = cam_for_seed(jax.nn.one_hot(pred, config.num_classes,
+                                           dtype=jnp.float32))
+    pieces = [probs, pred[None].astype(jnp.float32),
+              jnp.stack(roi_from_cam(cam_pred))]
+    for ci in class_indices:  # static unroll — fixed tuple per route
+        seed = jnp.zeros((config.num_classes,)).at[ci].set(1.0)
+        pieces.append(jnp.stack(roi_from_cam(cam_for_seed(seed))))
+    return jnp.concatenate(pieces).astype(jnp.float32)
+
+
+def _roi_dict_from_vals(vals) -> dict:
+    """(top, left, height, width) floats -> the web app's roiCoords
+    payload (same rounding as xai.roi.roi_coords_dict)."""
+    top, left, height, width = (float(v) for v in vals)
+    return {"top": round(top, 4), "left": round(left, 4),
+            "width": round(width, 4), "height": round(height, 4)}
+
+
 def classify_result_dict(probs, cls_idx: int, roi: dict) -> dict:
     """THE classify result schema (reference rows, app.py:555-564),
     shared by the per-sample engine path and the micro-batcher so the
@@ -96,6 +143,10 @@ class InferenceEngine:
         (pretrained resnet50 layer4 over the display image, GRADCAM.py:16-53)
         instead of the default explain-own-classifier redesign."""
         self.config = config or EngineConfig()
+        # per-request cost observability: the fused classify path must make
+        # exactly one device dispatch + one host fetch per request (tested)
+        self.dispatch_count = 0
+        self.fetch_count = 0
         k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
         if encoder_pth and os.path.exists(encoder_pth):
             from cadx_tpu.models import resnet as _resnet
@@ -153,26 +204,45 @@ class InferenceEngine:
         x = jnp.asarray(img)
         feats, clean_u8 = self._segment_jit(x)
         if cache_token is not None:
-            self._device_feats = (cache_token, feats)
+            self._feats_cache_put(cache_token, feats)
         return np.asarray(feats), np.asarray(clean_u8)
+
+    # Device feature cache: small LRU (not single-slot) so a second
+    # concurrent patient or a bulk interleave doesn't silently evict the
+    # hot entry (round-3 verdict #7). 4 entries x ~16MB CHW f32 stacks =
+    # ~64MB HBM ceiling — negligible on a 16GB chip.
+    _FEATS_CACHE_SLOTS = 4
+
+    def _feats_cache_put(self, token, feats) -> None:
+        import collections
+
+        if not hasattr(self, "_device_feats_lru"):
+            self._device_feats_lru = collections.OrderedDict()
+        lru = self._device_feats_lru
+        lru.pop(token, None)
+        lru[token] = feats
+        while len(lru) > self._FEATS_CACHE_SLOTS:
+            lru.popitem(last=False)
 
     def finalize_feature_token(self, provisional, final) -> None:
         """Rebind the cached features from a provisional token (known
         before the artifact write) to the final content token (e.g.
         (path, mtime), known only after). No-op on mismatch."""
-        cached = getattr(self, "_device_feats", None)
-        if cached is not None and cached[0] == provisional:
-            self._device_feats = (final, cached[1])
+        lru = getattr(self, "_device_feats_lru", None)
+        if lru is not None and provisional in lru:
+            self._feats_cache_put(final, lru.pop(provisional))
 
     def _cached_device_features(self, features, cache_token):
         """The device copy of `features` if it is the array produced
         under `cache_token`, else None. Trusts the token — callers must
         derive it from content identity (path + mtime), so a rewritten
-        artifact misses the cache and re-uploads."""
-        cached = getattr(self, "_device_feats", None)
-        if cache_token is None or cached is None or cached[0] != cache_token:
+        artifact misses the cache and re-uploads. A hit refreshes LRU
+        recency."""
+        lru = getattr(self, "_device_feats_lru", None)
+        if cache_token is None or lru is None or cache_token not in lru:
             return None
-        dev = cached[1]
+        dev = lru[cache_token]
+        lru.move_to_end(cache_token)
         return dev if tuple(dev.shape) == tuple(np.shape(features)) else None
 
     @functools.cached_property
@@ -243,56 +313,49 @@ class InferenceEngine:
         """CAM-derived roiCoords for each requested class — the real
         coordinates the ROI viewer draws (the reference hardcodes one
         rectangle for every image, app.py:714)."""
-        from cadx_tpu.xai.gradcam import gradcam_map
-        from cadx_tpu.xai.roi import roi_coords_dict
-
-        feats_in, params, cfg = self._prep_classifier_input(features, pipeline)
-        return [roi_coords_dict(gradcam_map(params, feats_in, ci, cfg))
-                for ci in class_indices]
+        _result, coords = self.classify_and_roi(features, pipeline,
+                                                class_indices)
+        return coords
 
     def classify(self, features: np.ndarray, pipeline: str = "basic",
                  cache_token=None) -> dict:
         """One sample -> result dict shaped like the reference's results
         rows (app.py:555-564 / :597-606)."""
-        feats_in, params, cfg = self._prep_classifier_input(
-            features, pipeline, cache_token)
-        return self._classify_prepped(feats_in, params, cfg, pipeline)
+        result, _coords = self.classify_and_roi(
+            features, pipeline, class_indices=(), cache_token=cache_token)
+        return result
 
     def classify_and_roi(self, features: np.ndarray, pipeline: str = "basic",
                          class_indices=(0, 1), cache_token=None):
-        """classify + per-class CAM roiCoords sharing ONE feature prep and
-        forward (the /roi route needs both; calling classify and
-        roi_coords_per_class separately re-ran process_bottleneck_features
-        and the classifier forward)."""
-        from cadx_tpu.xai.gradcam import gradcam_map
-        from cadx_tpu.xai.roi import roi_coords_dict
-
+        """classify + per-class CAM roiCoords in ONE fused program
+        (_fused_request): one device dispatch, one host fetch per request.
+        dispatch_count/fetch_count expose that contract to tests."""
         feats_in, params, cfg = self._prep_classifier_input(
             features, pipeline, cache_token)
-        result = self._classify_prepped(feats_in, params, cfg, pipeline)
-        coords = [roi_coords_dict(gradcam_map(params, feats_in, ci, cfg))
-                  for ci in class_indices]
-        return result, coords
-
-    def _classify_prepped(self, feats_in, params, cfg, pipeline: str) -> dict:
-        if pipeline == "basic":
-            cls_idx, probs = self._predict_basic(feats_in)
-        else:
-            cls_idx, probs = self._predict_advanced(feats_in)
-        cls_idx = int(cls_idx)
-
-        # real ROI from the predicted class's CAM (the reference hardcodes
-        # roiCoords, app.py:563)
         try:
-            from cadx_tpu.xai.gradcam import gradcam_map
-            from cadx_tpu.xai.roi import roi_coords_dict
-
-            cam = gradcam_map(params, feats_in, cls_idx, cfg)
-            roi = roi_coords_dict(cam)
-        except Exception:  # noqa: BLE001 — ROI is auxiliary, never fatal
+            self.dispatch_count += 1
+            vec = _fused_request(params, feats_in, cfg,
+                                 tuple(class_indices))
+            self.fetch_count += 1
+            vec = np.asarray(vec)  # the single host fetch
+        except Exception:  # noqa: BLE001 — ROI is auxiliary, never fatal:
+            # fall back to a plain forward + the reference's hardcoded box
+            # (app.py:563) if the CAM/ROI tail ever fails to build
+            if pipeline == "basic":
+                cls_idx, probs = self._predict_basic(feats_in)
+            else:
+                cls_idx, probs = self._predict_advanced(feats_in)
+            cls_idx = int(cls_idx)
             roi = {"top": 0.20, "left": 0.30, "width": 0.40, "height": 0.35}
-
-        return classify_result_dict(probs, cls_idx, roi)
+            return (classify_result_dict(probs, cls_idx, roi),
+                    [dict(roi) for _ in class_indices])
+        n = cfg.num_classes
+        probs = vec[:n]
+        cls_idx = int(vec[n])
+        roi = _roi_dict_from_vals(vec[n + 1:n + 5])
+        coords = [_roi_dict_from_vals(vec[n + 5 + 4 * i:n + 9 + 4 * i])
+                  for i in range(len(class_indices))]
+        return classify_result_dict(probs, cls_idx, roi), coords
 
     @functools.cached_property
     def _predict_basic(self):

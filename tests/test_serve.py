@@ -538,6 +538,73 @@ def test_device_feature_cache_matches_host_path():
             assert abs(a[k] - b[k]) < 1e-3
 
 
+def test_feature_cache_holds_multiple_patients():
+    """The device feature cache is a small LRU: two patients' feature
+    stacks coexist (a second upload must not evict the first — round-3
+    verdict #7), eviction starts only beyond the slot budget, and a
+    cache hit refreshes recency."""
+    eng = _small_engine()
+    rng = np.random.default_rng(11)
+    imgs = [(rng.random((64, 64)) * 255).astype(np.uint8) for _ in range(6)]
+
+    fa, _ = eng.process_single_image(imgs[0], cache_token="A")
+    fb, _ = eng.process_single_image(imgs[1], cache_token="B")
+    assert eng._cached_device_features(fa, "A") is not None  # B didn't evict A
+    assert eng._cached_device_features(fb, "B") is not None
+
+    # hot-path results match the cold path for BOTH coexisting tokens
+    for feats, tok in ((fa, "A"), (fb, "B")):
+        hot = eng.classify(feats, "basic", cache_token=tok)
+        cold = eng.classify(feats, "basic")
+        np.testing.assert_allclose(hot["prediction_probabilities"],
+                                   cold["prediction_probabilities"],
+                                   rtol=1e-5, atol=1e-6)
+
+    # fill beyond the slot budget: A is LRU-refreshed by a hit, so the
+    # oldest UNTOUCHED token (B) falls out first
+    assert eng._cached_device_features(fa, "A") is not None  # refresh A
+    for i, tok in enumerate(("C", "D", "E")):
+        eng.process_single_image(imgs[2 + i], cache_token=tok)
+    assert len(eng._device_feats_lru) == eng._FEATS_CACHE_SLOTS
+    assert eng._cached_device_features(fb, "B") is None      # evicted
+    assert eng._cached_device_features(fa, "A") is not None  # kept (hot)
+
+    # finalize rebinds without losing LRU membership
+    eng.finalize_feature_token("A", ("path", 1.0))
+    assert eng._cached_device_features(fa, "A") is None
+    assert eng._cached_device_features(fa, ("path", 1.0)) is not None
+
+
+def test_classify_request_is_one_dispatch_one_fetch():
+    """The per-request classify/roi path must stay ONE fused device
+    dispatch + ONE host fetch (round-3 verdict: the old path paid 3
+    dispatches with an int(argmax) host sync between them, ~25-30ms per
+    fetch over the real tunnel). Counters guard the contract; the
+    fallback (hardcoded-ROI) branch would skew probs, so also check the
+    result carries a real CAM-derived box for at least one pipeline."""
+    eng = _small_engine()
+    rng = np.random.default_rng(3)
+    feats, _ = eng.process_single_image(
+        (rng.random((64, 64)) * 255).astype(np.uint8))
+
+    for pipeline in ("basic", "advanced"):
+        d0, f0 = eng.dispatch_count, eng.fetch_count
+        result = eng.classify(feats, pipeline)
+        assert eng.dispatch_count == d0 + 1, pipeline
+        assert eng.fetch_count == f0 + 1, pipeline
+        assert result["predicted_class"] in ("Benign", "Malignant")
+
+        d0, f0 = eng.dispatch_count, eng.fetch_count
+        result, coords = eng.classify_and_roi(feats, pipeline,
+                                              class_indices=(0, 1))
+        assert eng.dispatch_count == d0 + 1, pipeline
+        assert eng.fetch_count == f0 + 1, pipeline
+        assert len(coords) == 2
+        # not the hardcoded-fallback box in every slot
+        fallback = {"top": 0.20, "left": 0.30, "width": 0.40, "height": 0.35}
+        assert result["roiCoords"] != fallback or coords[0] != fallback
+
+
 def test_engine_warmup_compiles_all_serving_programs():
     """warmup() runs every serving program end-to-end on dummy inputs
     (segment, both classifier forwards + CAM/ROI, micro-batcher) so a
