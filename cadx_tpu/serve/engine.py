@@ -99,10 +99,33 @@ def classify_result_dict(probs, cls_idx: int, roi: dict) -> dict:
     }
 
 
+def bucket_clean_hw(h: int, w: int, cap: int) -> tuple[int, int]:
+    """Cleaning resolution for an oversized native upload: long side ==
+    cap, short side scaled then rounded UP to a multiple of 128 (so the
+    expensive shape-specialized cleaning program compiles for at most
+    cap/128 distinct shapes, not one per camera model). Aspect error is
+    < 128/cap — and the pipeline's final resize to the square segment_hw
+    discards aspect anyway (reference app.py:136)."""
+    scale = cap / max(h, w)
+    short = max(128, -(-round(min(h, w) * scale) // 128) * 128)
+    short = min(short, cap)
+    return (cap, short) if h >= w else (short, cap)
+
+
 @dataclasses.dataclass
 class EngineConfig:
     segment_hw: tuple[int, int] = (512, 512)
     feature_resize: tuple[int, int] = (32, 32)
+    # Native uploads larger than this (long side, px) are area-downscaled
+    # to a bucketed shape (bucket_clean_hw) BEFORE cleaning. CBIS-DDSM
+    # originals are ~4Kx3K: cleaning at full native resolution would pay a
+    # fresh 20-300s remote compile per unseen resolution and an unmeasured
+    # XLA watershed cost at 67MB/plane; at <=1536 the per-shape compile
+    # set is bounded (<=12 shapes) and VMEM planes stay ~9MB. The
+    # reference cleans at native res (customImageCleaner.py:159-176) —
+    # divergence is bounded by test_serve_fullres's mask-parity check.
+    # None = reference behavior (clean at native resolution, any size).
+    native_clean_max_side: int | None = 1536
     # Shard classify_batch over all visible devices (jax.sharding mesh,
     # batch on the "data" axis, params replicated). No-op on one chip;
     # on a pod slice the bulk endpoint fans out with zero code changes
@@ -200,8 +223,16 @@ class InferenceEngine:
         artifacts (the app uses (masks_path, mtime)). The device-resident
         feature array is kept under the token so a later classify/roi
         with the same token skips the host->device re-upload of the
-        ~16MB feature stack (~130ms over this tunnel per request)."""
+        ~16MB feature stack (~130ms over this tunnel per request).
+
+        Oversized natives (long side > config.native_clean_max_side) are
+        area-downscaled to a bucketed shape first — a cheap separate
+        program — so the expensive cleaning program never compiles at
+        unbounded per-upload resolutions (see EngineConfig)."""
         x = jnp.asarray(img)
+        cap = self.config.native_clean_max_side
+        if cap and max(x.shape) > cap:
+            x = self._downscale_jit(x, bucket_clean_hw(*x.shape, cap))
         feats, clean_u8 = self._segment_jit(x)
         if cache_token is not None:
             self._feats_cache_put(cache_token, feats)
@@ -244,6 +275,17 @@ class InferenceEngine:
         dev = lru[cache_token]
         lru.move_to_end(cache_token)
         return dev if tuple(dev.shape) == tuple(np.shape(features)) else None
+
+    @functools.cached_property
+    def _downscale_jit(self):
+        """Oversized-native downscale as its OWN tiny program: it is the
+        only piece that sees the raw per-camera resolution, so the
+        per-new-shape compile is a resize (fast) instead of the full
+        cleaning pipeline (20-300s remote). float32 out — cleaning
+        re-rescales via to_uint8, preserving the 16-bit dynamic range."""
+        return jax.jit(
+            lambda im, hw: resize_area(im.astype(jnp.float32), hw),
+            static_argnums=(1,))
 
     @functools.cached_property
     def _segment_jit(self):

@@ -24,6 +24,7 @@ def test_binary_threshold_matches_cv2(rng):
     np.testing.assert_array_equal(ours, ref)
 
 
+@pytest.mark.slow
 def test_erode_dilate_open_match_cv2(rng):
     img = _blob_mask(rng)
     # even k exercise the anchor-at-k//2 (asymmetric window) path of the

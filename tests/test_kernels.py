@@ -51,6 +51,7 @@ def test_flood_kernel_matches_xla(masks):
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(ours))
 
 
+@pytest.mark.slow
 def test_mode_kernel_matches_xla(masks, rng):
     """Bitonic-sort largest-component mask == XLA sort + _mode_label,
     including area ties (smallest-label tie-break) and empty masks."""
@@ -119,6 +120,7 @@ def test_row_runlen_exact(rng):
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.slow
 def test_fused_largest_obj_matches_composition(masks, rng):
     """The fused CCL+mode+fill+opening kernel == composing the separate
     ops, for both phase orderings and both smoothing kernels."""
@@ -153,6 +155,7 @@ def test_fused_largest_obj_matches_composition(masks, rng):
                                           interpret=INTERPRET))[0])
 
 
+@pytest.mark.slow
 def test_flood_largest_component_alternative(masks, rng):
     """The perf-gated-OFF flood-probe largest-component alternative
     (kernels/largest_obj.py::largest_component_mask) stays bit-identical
@@ -199,6 +202,7 @@ def test_flood_largest_component_alternative(masks, rng):
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got[0]) == 1)
 
 
+@pytest.mark.slow
 def test_fused_cleaner_front_matches_composition(rng):
     """The fused suppress+segment front kernel == composing
     suppress_artifacts + segment_breast_mask (XLA path), bit-identical,
@@ -263,6 +267,7 @@ def test_clean_boundary_gray_fused_path_matches_composed(rng):
     np.testing.assert_array_equal(ref_out, fused_out)
 
 
+@pytest.mark.slow
 def test_fused_pectoral_tail_matches_composition(rng):
     """The fused pectoral-tail kernel (largest-obj + marker bands +
     watershed + boundary opening) == the composed XLA path."""

@@ -115,6 +115,7 @@ def test_cross_validate_mesh(rng):
     }
 
 
+@pytest.mark.slow
 def test_graft_entry_single_and_multichip():
     import __graft_entry__ as ge
 

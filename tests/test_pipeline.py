@@ -6,6 +6,7 @@ import cv2
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cadx_tpu.models import cnn
 from cadx_tpu.pipeline import fused
@@ -59,6 +60,7 @@ def test_pipeline_end_to_end(rng):
     assert np.asarray(out.clean_u8)[:, :, :4].mean() < 60
 
 
+@pytest.mark.slow
 def test_pipeline_stages_consistent_with_components(rng):
     """Pipeline output == composing the stage functions manually."""
     config = _tiny_config()

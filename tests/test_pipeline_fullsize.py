@@ -80,6 +80,7 @@ def test_use_pallas_dispatch_at_real_sizes(monkeypatch):
     assert not components._use_pallas(256, 256)      # escape hatch
 
 
+@pytest.mark.slow
 def test_bulk_vs_single_prediction_divergence_bounded():
     """classify_batch resizes BEFORE cleaning while the single path
     cleans at native resolution (engine.classify_batch docstring). Bound
@@ -121,6 +122,7 @@ def _engine_256():
     ))
 
 
+@pytest.mark.slow
 def test_bulk_vs_single_divergence_tight_256():
     """r2 verdict weak spot #5: the toy-sized 0.25 bound could not catch
     a meaningful divergence. At the serving segment resolution (256 here,

@@ -57,6 +57,7 @@ def _mammo(rng, hw=128):
     return cv2.GaussianBlur(img, (5, 5), 2)
 
 
+@pytest.mark.slow
 def test_fused_pipeline_matches_reference_composition(ref_parts, tmp_path, rng):
     preproc, ref_cnn_mod = ref_parts
     hw = 128

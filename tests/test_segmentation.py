@@ -24,6 +24,7 @@ def _blob_data(rng, n=32, hw=32):
     return X, Y
 
 
+@pytest.mark.slow
 def test_unet_segmentation_learns(rng):
     config = unet.UNetConfig(features=(8, 16, 32))
     params = unet.init_unet(jax.random.key(0), config)

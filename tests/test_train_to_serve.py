@@ -23,6 +23,7 @@ from cadx_tpu.serve.engine import EngineConfig, InferenceEngine
 from cadx_tpu.tools import train as train_cli
 
 
+@pytest.mark.slow
 def test_train_then_serve(tmp_path, rng):
     # 1. synthetic labeled DICOM dataset + mapping CSV
     paths = []
