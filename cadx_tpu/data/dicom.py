@@ -44,11 +44,27 @@ TS_EXPLICIT_BE = "1.2.840.10008.1.2.2"  # retired, still in old archives
 TS_RLE = "1.2.840.10008.1.2.5"
 TS_JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
 TS_JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
+TS_J2K_LOSSLESS = "1.2.840.10008.1.2.4.90"  # newer TCIA collections
+TS_J2K = "1.2.840.10008.1.2.4.91"           # lossy-allowed (same decoder)
 
 _UNCOMPRESSED_TS = {TS_IMPLICIT_LE, TS_EXPLICIT_LE, TS_DEFLATED_LE,
                     TS_EXPLICIT_BE}
-_ENCAPSULATED_TS = {TS_RLE, TS_JPEG_LOSSLESS_P14, TS_JPEG_LOSSLESS_SV1}
+_ENCAPSULATED_TS = {TS_RLE, TS_JPEG_LOSSLESS_P14, TS_JPEG_LOSSLESS_SV1,
+                    TS_J2K_LOSSLESS, TS_J2K}
 _SUPPORTED_TS = _UNCOMPRESSED_TS | _ENCAPSULATED_TS
+
+# recognized-but-unsupported syntaxes get a precise error message (the
+# generic one suggests the file is compressed, which these ARE — name
+# the actual gap instead)
+_KNOWN_UNSUPPORTED_TS = {
+    "1.2.840.10008.1.2.4.201": "HTJ2K lossless",
+    "1.2.840.10008.1.2.4.202": "HTJ2K with RPCL",
+    "1.2.840.10008.1.2.4.203": "HTJ2K",
+    "1.2.840.10008.1.2.4.80": "JPEG-LS lossless",
+    "1.2.840.10008.1.2.4.81": "JPEG-LS near-lossless",
+    "1.2.840.10008.1.2.4.50": "JPEG baseline (lossy 8-bit)",
+    "1.2.840.10008.1.2.4.51": "JPEG extended (lossy 12-bit)",
+}
 
 TAG_TRANSFER_SYNTAX = (0x0002, 0x0010)
 TAG_PATIENT_ID = (0x0010, 0x0020)
@@ -158,6 +174,8 @@ class DicomFile:
             for frame in frames:
                 if self.transfer_syntax == TS_RLE:
                     decoded.append(_rle_pixels(frame, rows, cols, bits))
+                elif self.transfer_syntax in (TS_J2K_LOSSLESS, TS_J2K):
+                    decoded.append(_j2k_pixels(frame, rows, cols))
                 else:
                     decoded.append(_jpeg_lossless_pixels(frame, rows, cols))
         except (codecs.CodecError, IndexError, struct.error) as e:
@@ -299,6 +317,21 @@ def _jpeg_lossless_pixels(frame: bytes, rows: int, cols: int) -> np.ndarray:
     return arr
 
 
+def _j2k_pixels(frame: bytes, rows: int, cols: int) -> np.ndarray:
+    """Decode a JPEG 2000 frame (self-written Part-1 decoder, data/j2k.py,
+    independently verified against OpenJPEG in tests/test_j2k.py)."""
+    from cadx_tpu.data.j2k import j2k_decode
+
+    arr = j2k_decode(frame)
+    if arr.ndim != 2:
+        raise DicomError("J2K multi-component pixel data in a "
+                         "single-sample DICOM")
+    if arr.shape != (rows, cols):
+        raise DicomError(
+            f"decoded J2K size {arr.shape} != Rows/Columns {(rows, cols)}")
+    return arr
+
+
 def dcmread(path_or_bytes) -> DicomFile:
     """Read a DICOM file (path or bytes). pydicom.dcmread equivalent for
     uncompressed little-endian files."""
@@ -338,6 +371,12 @@ def dcmread(path_or_bytes) -> DicomFile:
     if isinstance(ts, bytes):
         ts = ts.decode("ascii", errors="replace").strip("\x00 ").strip()
     if ts not in _SUPPORTED_TS:
+        if ts in _KNOWN_UNSUPPORTED_TS:
+            raise DicomError(
+                f"unsupported transfer syntax {ts!r} "
+                f"({_KNOWN_UNSUPPORTED_TS[ts]}): not implemented — "
+                "transcode to J2K lossless, JPEG lossless, RLE, or "
+                "uncompressed")
         raise DicomError(f"unsupported transfer syntax {ts!r} (compressed?)")
     explicit = ts != TS_IMPLICIT_LE  # encapsulated syntaxes are explicit VR
     big_endian = ts == TS_EXPLICIT_BE
@@ -436,6 +475,23 @@ def dcmwrite_minimal(path: str, pixel_array: np.ndarray,
         frames = arr if arr.ndim == 3 else arr[None]
         if transfer_syntax == TS_RLE:
             enc = [codecs.rle_encode(f) for f in frames]
+        elif transfer_syntax in (TS_J2K_LOSSLESS, TS_J2K):
+            # encoder: OpenCV's OpenJPEG build (the J2K DECODER is
+            # self-written, data/j2k.py; fixtures from an independent
+            # encoder make the round-trip test meaningful)
+            try:
+                import cv2
+            except ImportError as e:
+                raise DicomError("J2K encoding needs cv2") from e
+            from cadx_tpu.data.j2k import _unwrap_jp2
+
+            enc = []
+            for f in frames:
+                ok, buf = cv2.imencode(
+                    ".jp2", f, [cv2.IMWRITE_JPEG2000_COMPRESSION_X1000, 1000])
+                if not ok:
+                    raise DicomError("cv2 J2K encode failed")
+                enc.append(_unwrap_jp2(bytes(buf)))  # raw codestream
         else:
             enc = [codecs.jpeg_lossless_encode(f, precision=bits)
                    for f in frames]

@@ -364,7 +364,8 @@ class _CodeBlock:
         self.zbp = 0            # missing (zero) bit-planes
         self.lblock = 3
         self.passes_total = 0
-        self.data_parts = []    # list of (bytes, n_passes) segments
+        self.data_parts = []    # [(bytes, n_passes)] per signalled chunk
+        self.nb_seg_passes = []  # [(nbytes, n_passes)] mirror for tier-1
 
 
 class _Subband:
@@ -526,38 +527,38 @@ def _decode_block(cb: _CodeBlock, kind: str, mb: int, cbstyle: int,
         # raw for SPP and MRP once (bp_start - bp_of_pass[k]) >= 4
         return t in (0, 1) and (bp_start - bp_of_pass[k]) >= 4
 
-    # split flattened data into decoder segments
-    # group passes into segments: boundaries where termall, or bypass
-    # transitions (MQ <-> raw), else all passes one segment
-    seg_bounds = []
+    # Decoder segments are delimited ONLY by codeword terminations
+    # (termall: every pass; bypass: at MQ<->raw transitions) — NOT by
+    # packet boundaries: without termination one MQ codeword spans
+    # layers, so bytes from consecutive packets concatenate (B.10.7 /
+    # D.4.1). Tier-2 recorded (nbytes, npass) per length-signalled chunk;
+    # chunks never straddle a termination boundary (tier-2 used the same
+    # boundary rules), so a decoder segment = a run of whole chunks.
+    seg_bounds = []  # (first_pass, end_pass, raw?)
     start = 0
     for k in range(n_passes):
         last = (k == n_passes - 1)
         boundary = last or termall or (
-            bypass and (pass_is_raw(k) != pass_is_raw(k + 1)))
+            bypass and not last and (pass_is_raw(k) != pass_is_raw(k + 1)))
         if boundary:
             seg_bounds.append((start, k + 1, pass_is_raw(k)))
             start = k + 1
 
-    # map segments to byte ranges: data_parts gives (bytes, n_passes)
-    # per packet contribution; concatenate then split by seg lengths?
-    # Lengths per segment come from the packet headers (stored in
-    # data_parts as explicit per-segment chunks already).
-    chunks = [c for c, _ in segments]
-    blob = b"".join(chunks)
-    seg_lens = getattr(cb, "nb_seg_passes", None)
-    # cb.data_parts entries are (bytes, passes); the tier-2 code already
-    # split at termination boundaries, so align greedily: each decoder
-    # segment consumes whole packet chunks.
-    # Simplest correct approach: tier-2 stored per-segment byte lengths.
-    if seg_lens is None:
-        seg_lens = [(len(blob), n_passes, pass_is_raw(0))]
+    blob = b"".join(c for c, _ in segments)
+    chunk_lens = cb.nb_seg_passes  # [(nbytes, npass), ...] from tier-2
 
+    data_iter = []  # (bytes, n_passes, raw?) true decoder segments
     pos = 0
-    pass_idx = 0
-    data_iter = []
-    for nbytes, npass in seg_lens:
-        data_iter.append((blob[pos:pos + nbytes], npass))
+    ci = 0
+    for (p0, p1, is_raw_seg) in seg_bounds:
+        need = p1 - p0
+        nbytes = 0
+        while need > 0 and ci < len(chunk_lens):
+            b_len, b_pass = chunk_lens[ci]
+            nbytes += b_len
+            need -= b_pass
+            ci += 1
+        data_iter.append((blob[pos:pos + nbytes], p1 - p0, is_raw_seg))
         pos += nbytes
 
     mq = None
@@ -681,20 +682,18 @@ def _decode_block(cb: _CodeBlock, kind: str, mb: int, cbstyle: int,
         sig[ys, xs] = 1
         sgn[ys, xs] = -1 if negative else 1
 
-    for seg_data, seg_npasses in data_iter:
-        is_raw = pass_is_raw(k)
+    ctx_idx = ctx_mps = None  # context states persist ACROSS segments
+    for seg_data, seg_npasses, is_raw in data_iter:
         if is_raw:
             raw = _RawBitReader(seg_data, 0)
         else:
-            if mq is None or termall or bypass or True:
-                mq = _MQDecoder(seg_data)
-                # context states persist across MQ segments in termall/
-                # bypass mode per spec unless reset; simplest correct
-                # behavior for OpenJPEG defaults (no termall/bypass):
-                # one segment only. For multi-segment, carry states over:
-            # NOTE: per T.800, contexts are NOT reset between passes
-            # unless the reset flag is set; we re-init the decoder on a
-            # new segment but must preserve context states.
+            mq = _MQDecoder(seg_data)
+            if ctx_idx is not None:
+                # D.4.1: terminations restart the codeword, NOT the
+                # probability contexts (unless the reset option fires,
+                # handled per-pass below)
+                mq.idx = ctx_idx
+                mq.mps = ctx_mps
         for _ in range(seg_npasses):
             t = pass_types[k]
             bp_i = bp_of_pass[k]
@@ -738,21 +737,25 @@ def _decode_block(cb: _CodeBlock, kind: str, mb: int, cbstyle: int,
                         s = (s << 1) | mq.decode(_CTX_UNI)
                     # spec value 0xA; mismatch = corruption (non-fatal)
             if t == 2:
-                visited[:] = False
-            else:
                 # visited persists from SPP through MRP to CUP of the
-                # same plane; MRP marks its own visits
-                if t == 1:
-                    pass
+                # same plane (each marks its own visits), clears after CUP
+                visited[:] = False
             if reset_ctx and mq is not None:
                 mq.reset_contexts()
             k += 1
+        if mq is not None:
+            ctx_idx, ctx_mps = mq.idx, mq.mps
         if k >= n_passes:
             break
 
-    # NOTE on 'visited': per spec, the CUP skips samples coded in the
-    # SPP/MRP of the SAME bit-plane; we reset after CUP above and MRP
-    # visits only its own samples, matching that.
+    # Mid-point reconstruction for truncated streams (rate-controlled
+    # lossy): every coded plane stops at p_last; true magnitudes lie in
+    # [m, m + 2^p_last), so add the interval midpoint to nonzero samples
+    # (what OpenJPEG does). p_last = 0 for complete (lossless) streams,
+    # where the integer half is 0 — bit-exactness unaffected.
+    p_last = bp_of_pass[min(k, n_passes) - 1] if n_passes else 0
+    if p_last > 0:
+        mag[mag != 0] += 1 << (p_last - 1)
     signs = sgn[1:h + 1, 1:w + 1].astype(np.int32)
     coefs = mag[:h, :w].astype(np.int64) * np.where(signs < 0, -1, 1)
     return coefs.astype(np.int64)
@@ -992,11 +995,12 @@ class _Decoder:
         # component transform + level shift
         cs = self.styles["*"]
         if cs.mct and self.ncomp >= 3:
+            # codestream comps are (Y, Cb, Cr); output order is (R, G, B)
             c0, c1, c2 = comps[0], comps[1], comps[2]
-            if cs.transform == 1:  # RCT (reversible)
+            if cs.transform == 1:  # RCT inverse (G.2): Cb = B-G, Cr = R-G
                 g = c0 - np.floor((c1 + c2) / 4.0)
-                r = c1 + g
-                b = c2 + g
+                r = c2 + g
+                b = c1 + g
                 comps[0], comps[1], comps[2] = r, g, b
             else:                   # ICT (YCbCr)
                 r = c0 + 1.402 * c2
@@ -1092,9 +1096,9 @@ class _Decoder:
                     # quantization parameters for this subband
                     gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[band.kind]
                     if q.style == 1 and sb_index > 0:
-                        # scalar derived: exponents derive from res 0
-                        eps = q.exps[0] - (nl - max(r, 1) + 1) + 1
-                        eps = q.exps[0] - nl + max(r, 1)
+                        # scalar derived (E-5): eps_b = eps_0 - NL + n_b
+                        # with n_b = NL - r + 1 for r >= 1
+                        eps = q.exps[0] + 1 - max(r, 1)
                         mant = q.mants[0]
                     else:
                         idx = min(sb_index, len(q.exps) - 1)
@@ -1394,8 +1398,6 @@ class _Decoder:
                 pos += 2
         # packet body
         for cb, segs in contributions:
-            if not hasattr(cb, "nb_seg_passes") or cb.nb_seg_passes is None:
-                cb.nb_seg_passes = []
             for (npass, nbytes) in segs:
                 cb.data_parts.append((data[pos:pos + nbytes], npass))
                 cb.nb_seg_passes.append((nbytes, npass))

@@ -415,8 +415,8 @@ def test_16bit_dicom_upload_preserves_depth(server):
 
 
 def test_compressed_dicom_upload(server):
-    """JPEG-Lossless-SV1 and RLE DICOM uploads (the syntaxes real TCIA
-    mammograms ship) are accepted end-to-end by /upload-single."""
+    """JPEG-Lossless-SV1, RLE, and JPEG-2000 DICOM uploads (the syntaxes
+    real TCIA mammograms ship) are accepted end-to-end by /upload-single."""
     import tempfile
 
     from cadx_tpu.data import dicom as _dicom
@@ -424,7 +424,8 @@ def test_compressed_dicom_upload(server):
     base, srv = server
     rng = np.random.default_rng(22)
     img16 = rng.integers(0, 4096, (96, 96), dtype=np.uint16)
-    for ts in (_dicom.TS_JPEG_LOSSLESS_SV1, _dicom.TS_RLE):
+    for ts in (_dicom.TS_JPEG_LOSSLESS_SV1, _dicom.TS_RLE,
+               _dicom.TS_J2K_LOSSLESS):
         with tempfile.NamedTemporaryFile(suffix=".dcm", delete=False) as f:
             _dicom.dcmwrite_minimal(f.name, img16, "PCMP", transfer_syntax=ts)
             dcm_bytes = open(f.name, "rb").read()
