@@ -97,6 +97,13 @@ def get_lib() -> ctypes.CDLL:
                 np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
                 np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
             lib.cadx_loader_next.restype = ctypes.c_int
+            lib.cadx_loader_next2.argtypes = [
+                ctypes.c_void_p,
+                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.cadx_loader_next2.restype = ctypes.c_int
             lib.cadx_loader_destroy.argtypes = [ctypes.c_void_p]
             lib.cadx_loader_destroy.restype = None
             _lib = lib
@@ -150,6 +157,25 @@ def decode_rle(frame: bytes, rows: int, cols: int, bits: int):
     return out
 
 
+def _box_resize(arr: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """Exact semantics of the C++ loader's resize_area_f32 (integer bin
+    edges, plain box average) so Python-rescued items match native-decoded
+    ones bit-for-bit at the f32 output."""
+    sh, sw = arr.shape
+    dh, dw = out_hw
+    # integral image -> box sums at integer edges
+    y_edges = np.minimum(np.arange(dh + 1) * sh // dh, sh)
+    x_edges = np.minimum(np.arange(dw + 1) * sw // dw, sw)
+    y0, y1 = y_edges[:-1], np.maximum(y_edges[1:], y_edges[:-1] + 1)
+    x0, x1 = x_edges[:-1], np.maximum(x_edges[1:], x_edges[:-1] + 1)
+    ii = np.zeros((sh + 1, sw + 1), np.float64)
+    ii[1:, 1:] = arr.astype(np.float64).cumsum(0).cumsum(1)
+    sums = (ii[np.ix_(y1, x1)] - ii[np.ix_(y0, x1)]
+            - ii[np.ix_(y1, x0)] + ii[np.ix_(y0, x0)])
+    areas = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return (sums / areas).astype(np.float32)
+
+
 class NativeBatchLoader:
     """Prefetching batch iterator over DICOM files.
 
@@ -171,6 +197,7 @@ class NativeBatchLoader:
         self._n = len(paths)
         self._n_workers = n_workers
         self._normalize = normalize
+        self._paths = list(paths)
         self._encoded = [p.encode() for p in paths]
         self._labels = np.asarray(labels, np.int32)
         self._exhausted = False
@@ -202,11 +229,35 @@ class NativeBatchLoader:
         data = np.empty((self.batch_size, *self.out_hw), np.float32)
         labels = np.empty((self.batch_size,), np.int32)
         ok = np.empty((self.batch_size,), np.int32)
-        count = self._lib.cadx_loader_next(self._handle, data, labels, ok)
+        start = ctypes.c_int64(0)
+        count = self._lib.cadx_loader_next2(self._handle, data, labels, ok,
+                                            ctypes.byref(start))
         if count == 0:
             self._exhausted = True
             raise StopIteration
+        for slot in np.flatnonzero(ok[:count] == 0):
+            self._rescue_item(int(start.value) + int(slot), data[slot],
+                              labels, ok, int(slot))
         return data[:count], labels[:count], ok[:count].astype(bool)
+
+    def _rescue_item(self, index: int, out_plane, labels, ok, slot) -> None:
+        """Items the C++ parser can't decode (e.g. JPEG 2000 transfer
+        syntaxes) are retried through the pure-Python DICOM reader with
+        the same box-average resize + normalize, instead of being
+        silently skipped; genuinely corrupt files still come back
+        ok=False (the reference's graceful per-item skip)."""
+        try:
+            from cadx_tpu.data import dicom as _dicom
+
+            ds = _dicom.dcmread(self._paths[index])
+            arr = _dicom.primary_frame(ds).astype(np.float64)
+            out_plane[:] = _box_resize(arr, self.out_hw)
+            if self._normalize:
+                out_plane /= max(float(out_plane.max()), 1e-8)
+            labels[slot] = self._labels[index]
+            ok[slot] = 1
+        except Exception:  # noqa: BLE001 — keep the skip contract
+            pass
 
     def close(self):
         if getattr(self, "_handle", None):

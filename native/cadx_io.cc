@@ -499,6 +499,7 @@ struct Batch {
   std::vector<int32_t> labels;
   std::vector<int32_t> ok;    // per-item success flags
   int count = 0;
+  int64_t start = 0;          // index of slot 0 in the epoch's path list
 };
 
 struct LoaderState {
@@ -534,6 +535,7 @@ void worker_loop(LoaderState* st) {
     size_t end = std::min(start + st->batch_size, st->paths.size());
     Batch b;
     b.count = static_cast<int>(end - start);
+    b.start = static_cast<int64_t>(start);
     b.data.assign(static_cast<size_t>(st->batch_size) * st->out_h * st->out_w, 0.f);
     b.labels.assign(st->batch_size, -1);
     b.ok.assign(st->batch_size, 0);
@@ -693,8 +695,12 @@ void* cadx_loader_create(const char** paths, const int32_t* labels, int n,
 // batch (including failed parses, which have ok_out=0 and labels_out=-1 —
 // callers must filter on ok_out); returns 0 when the epoch is exhausted.
 // Buffers must hold batch_size*H*W floats / ints.
-int cadx_loader_next(void* handle, float* data_out, int32_t* labels_out,
-                     int32_t* ok_out) {
+// cadx_loader_next + the batch's starting index in the path list, so the
+// Python wrapper can map failed slots back to file paths (it rescues
+// formats this parser doesn't decode — e.g. JPEG 2000 — via the pure-
+// Python reader instead of silently skipping them).
+int cadx_loader_next2(void* handle, float* data_out, int32_t* labels_out,
+                      int32_t* ok_out, int64_t* start_out) {
   auto* st = static_cast<LoaderState*>(handle);
   std::unique_lock<std::mutex> lk(st->mu);
   if (st->consumed >= st->total_batches) return 0;  // epoch exhausted
@@ -709,7 +715,15 @@ int cadx_loader_next(void* handle, float* data_out, int32_t* labels_out,
   std::memcpy(data_out, b.data.data(), b.data.size() * sizeof(float));
   std::memcpy(labels_out, b.labels.data(), b.labels.size() * sizeof(int32_t));
   std::memcpy(ok_out, b.ok.data(), b.ok.size() * sizeof(int32_t));
+  *start_out = b.start;
   return b.count;
+}
+
+int cadx_loader_next(void* handle, float* data_out, int32_t* labels_out,
+                     int32_t* ok_out) {
+  int64_t start_unused = 0;
+  return cadx_loader_next2(handle, data_out, labels_out, ok_out,
+                           &start_unused);
 }
 
 void cadx_loader_destroy(void* handle) {

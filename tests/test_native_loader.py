@@ -99,6 +99,43 @@ def test_batch_loader_matches_python_resize(dicom_files):
     np.testing.assert_allclose(data[0], ref, atol=0.05)  # binning differs slightly
 
 
+def test_loader_rescues_j2k_items(tmp_path, rng):
+    """Transfer syntaxes the C++ parser doesn't decode (JPEG 2000) must
+    come back ok=True via the pure-Python rescue with bit-identical
+    resize semantics — not silently skipped; corrupt files still skip."""
+    cv2 = pytest.importorskip("cv2")  # noqa: F841 — J2K writing needs cv2
+    paths, labels, arrays = [], [], []
+    for i in range(5):
+        img = rng.integers(0, 4096, (40, 32), dtype=np.uint16)
+        p = str(tmp_path / f"r{i}.dcm")
+        ts = dicom.TS_J2K_LOSSLESS if i % 2 else dicom.TS_JPEG_LOSSLESS_SV1
+        dicom.dcmwrite_minimal(p, img, transfer_syntax=ts)
+        paths.append(p)
+        labels.append(i)
+        arrays.append(img)
+    bad = str(tmp_path / "corrupt.dcm")
+    open(bad, "wb").write(b"\x00" * 200)
+    paths.append(bad)
+    labels.append(99)
+
+    out_hw = (16, 16)
+    got = {}
+    loader = nl.NativeBatchLoader(paths, labels, batch_size=2, out_hw=out_hw,
+                                  n_workers=2)
+    for data, labs, ok in loader:
+        for d, l, o in zip(data, labs, ok):
+            if o:
+                got[int(l)] = d.copy()
+    loader.close()
+    assert sorted(got) == [0, 1, 2, 3, 4]  # J2K rescued, corrupt skipped
+    for i, img in enumerate(arrays):
+        # f32-cast BEFORE the normalize divide, like both decode paths
+        expect = nl._box_resize(img.astype(np.float64), out_hw)
+        expect /= np.float32(max(float(expect.max()), 1e-8))
+        np.testing.assert_array_equal(
+            got[i], expect, err_msg=f"item {i} ({'J2K' if i % 2 else 'SV1'})")
+
+
 def test_graceful_skip(tmp_path, dicom_files, rng):
     paths, labels, _ = dicom_files
     bad = str(tmp_path / "bad.dcm")
