@@ -32,11 +32,35 @@ native C++ loader keeps its own fast paths for the bulk formats).
 from __future__ import annotations
 
 import math
+import os
 import struct
 
 import numpy as np
 
 from cadx_tpu.data.codecs import CodecError
+
+# Native (C++) tier-1 fast path: the EBCOT pass loop below ported to
+# native/cadx_io.cc::cadx_j2k_decode_block (pure Python costs ~10s for a
+# 512x512 image; mammograms are ~4Kx3K). Bit-identity native==python is
+# pinned by tests/test_j2k.py. Set CADX_J2K_NATIVE=0 to force Python.
+_NATIVE_J2K = os.environ.get("CADX_J2K_NATIVE", "1") != "0"
+_native_j2k_dead = False  # set on first failure (no toolchain): stop retrying
+
+_KIND_CODE = {"LL": 0, "LH": 0, "HL": 1, "HH": 2}
+
+
+def _native_decode_block(data_iter, w, h, bp_start, kind, cbstyle):
+    """Returns int64 signed coefficients (no mid-point) or None."""
+    global _native_j2k_dead
+    if not _NATIVE_J2K or _native_j2k_dead:
+        return None
+    try:
+        from cadx_tpu.data import native_loader
+        return native_loader.decode_j2k_block(
+            data_iter, w, h, bp_start, _KIND_CODE[kind], cbstyle)
+    except Exception:
+        _native_j2k_dead = True
+        return None
 
 # ---------------------------------------------------------------------------
 # MQ arithmetic decoder (T.800 Annex C)
@@ -560,6 +584,15 @@ def _decode_block(cb: _CodeBlock, kind: str, mb: int, cbstyle: int,
             ci += 1
         data_iter.append((blob[pos:pos + nbytes], p1 - p0, is_raw_seg))
         pos += nbytes
+
+    co = _native_decode_block(data_iter, w, h, bp_start, kind, cbstyle)
+    if co is not None:
+        # mid-point reconstruction, same as the Python tail below (all
+        # passes always run: the MQ/raw readers pad past end-of-data)
+        p_last = bp_of_pass[n_passes - 1]
+        if p_last > 0:
+            co = co + np.sign(co) * (1 << (p_last - 1))
+        return co.astype(np.int64)
 
     mq = None
     raw = None

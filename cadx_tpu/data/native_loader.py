@@ -104,6 +104,15 @@ def get_lib() -> ctypes.CDLL:
                 np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
                 ctypes.POINTER(ctypes.c_int64)]
             lib.cadx_loader_next2.restype = ctypes.c_int
+            lib.cadx_j2k_decode_block.argtypes = [
+                ctypes.c_char_p, ctypes.c_longlong,
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
+            lib.cadx_j2k_decode_block.restype = ctypes.c_int
             lib.cadx_loader_destroy.argtypes = [ctypes.c_void_p]
             lib.cadx_loader_destroy.restype = None
             _lib = lib
@@ -152,6 +161,28 @@ def decode_rle(frame: bytes, rows: int, cols: int, bits: int):
     lib = get_lib()
     out = np.empty((rows, cols), np.uint16)
     rc = lib.cadx_decode_rle(frame, len(frame), out, rows, cols, bits)
+    if rc != 0:
+        return None
+    return out
+
+
+def decode_j2k_block(segments, w: int, h: int, bp_start: int, kind: int,
+                     cbstyle: int):
+    """Native EBCOT tier-1 decode of one J2K code-block.
+
+    segments: [(bytes, n_passes, is_raw)] decoder segments as computed by
+    data/j2k.py. Returns int64 (h, w) signed coefficients (no mid-point),
+    or None if the native decoder rejects the block (caller falls back to
+    the pure-Python reference). Raises NativeUnavailable w/o toolchain."""
+    lib = get_lib()
+    blob = b"".join(s[0] for s in segments)
+    seg_bytes = np.asarray([len(s[0]) for s in segments], np.int64)
+    seg_passes = np.asarray([s[1] for s in segments], np.int32)
+    seg_raw = np.asarray([1 if s[2] else 0 for s in segments], np.int32)
+    out = np.empty((h, w), np.int64)
+    rc = lib.cadx_j2k_decode_block(blob, len(blob), seg_bytes, seg_passes,
+                                   seg_raw, len(segments), w, h, bp_start,
+                                   kind, cbstyle, out)
     if rc != 0:
         return None
     return out

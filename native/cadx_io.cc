@@ -623,6 +623,301 @@ bool parse_dicom_cached(const char* path, DicomImage* out) {
 }
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// JPEG 2000 tier-1 (EBCOT code-block) decoder — the hot loop of
+// cadx_tpu/data/j2k.py ported to C++ (the pure-Python pass loop costs
+// ~10s for a 512x512 image; real mammograms are ~4Kx3K). Faithful port
+// of the Python reference (which is oracle-tested against OpenJPEG);
+// bit-identity native==python is pinned by tests/test_j2k.py.
+// ---------------------------------------------------------------------------
+
+namespace j2k {
+
+struct QeRow { uint16_t qe; uint8_t nmps, nlps, sw; };
+static const QeRow kQe[47] = {
+    {0x5601, 1, 1, 1},  {0x3401, 2, 6, 0},   {0x1801, 3, 9, 0},
+    {0x0AC1, 4, 12, 0}, {0x0521, 5, 29, 0},  {0x0221, 38, 33, 0},
+    {0x5601, 7, 6, 1},  {0x5401, 8, 14, 0},  {0x4801, 9, 14, 0},
+    {0x3801, 10, 14, 0}, {0x3001, 11, 17, 0}, {0x2401, 12, 18, 0},
+    {0x1C01, 13, 20, 0}, {0x1601, 29, 21, 0}, {0x5601, 15, 14, 1},
+    {0x5401, 16, 14, 0}, {0x5101, 17, 15, 0}, {0x4801, 18, 16, 0},
+    {0x3801, 19, 17, 0}, {0x3401, 20, 18, 0}, {0x3001, 21, 19, 0},
+    {0x2801, 22, 19, 0}, {0x2401, 23, 20, 0}, {0x2201, 24, 21, 0},
+    {0x1C01, 25, 22, 0}, {0x1801, 26, 23, 0}, {0x1601, 27, 24, 0},
+    {0x1401, 28, 25, 0}, {0x1201, 29, 26, 0}, {0x1101, 30, 27, 0},
+    {0x0AC1, 31, 28, 0}, {0x09C1, 32, 29, 0}, {0x08A1, 33, 30, 0},
+    {0x0521, 34, 31, 0}, {0x0441, 35, 32, 0}, {0x02A1, 36, 33, 0},
+    {0x0221, 37, 34, 0}, {0x0141, 38, 35, 0}, {0x0111, 39, 36, 0},
+    {0x0085, 40, 37, 0}, {0x0049, 41, 38, 0}, {0x0025, 42, 39, 0},
+    {0x0015, 43, 40, 0}, {0x0009, 44, 41, 0}, {0x0005, 45, 42, 0},
+    {0x0001, 45, 43, 0}, {0x5601, 46, 46, 0},
+};
+constexpr int kCtxUni = 18, kCtxRl = 17, kNCtx = 19;
+
+struct MQDec {
+  const uint8_t* d;
+  long long n, bp;
+  uint32_t c, a;
+  int ct;
+  uint8_t idx[kNCtx], mps[kNCtx];
+
+  void reset_ctx() {
+    std::memset(idx, 0, sizeof(idx));
+    std::memset(mps, 0, sizeof(mps));
+    idx[kCtxUni] = 46;
+    idx[kCtxRl] = 3;
+    idx[0] = 4;
+  }
+  uint8_t at(long long i) const { return i < n ? d[i] : 0xFF; }
+  void bytein() {
+    uint8_t b = at(bp);
+    if (b == 0xFF) {
+      uint8_t b1 = at(bp + 1);
+      if (b1 > 0x8F) {
+        c += 0xFF00;
+        ct = 8;
+      } else {
+        bp += 1;
+        c += static_cast<uint32_t>(b1) << 9;
+        ct = 7;
+      }
+    } else {
+      bp += 1;
+      c += static_cast<uint32_t>(at(bp)) << 8;
+      ct = 8;
+    }
+  }
+  void init(const uint8_t* data, long long len) {
+    d = data;
+    n = len;
+    bp = 0;
+    c = static_cast<uint32_t>(at(0)) << 16;
+    bytein();
+    c <<= 7;
+    ct -= 7;
+    a = 0x8000;
+  }
+  int decode(int cx) {
+    uint32_t qe = kQe[idx[cx]].qe;
+    a -= qe;
+    int dbit;
+    if (((c >> 16) & 0xFFFF) < qe) {
+      if (a < qe) {
+        dbit = mps[cx];
+        idx[cx] = kQe[idx[cx]].nmps;
+      } else {
+        dbit = 1 - mps[cx];
+        if (kQe[idx[cx]].sw) mps[cx] = 1 - mps[cx];
+        idx[cx] = kQe[idx[cx]].nlps;
+      }
+      a = qe;
+    } else {
+      c -= qe << 16;
+      if (a & 0x8000) return mps[cx];
+      if (a < qe) {
+        dbit = 1 - mps[cx];
+        if (kQe[idx[cx]].sw) mps[cx] = 1 - mps[cx];
+        idx[cx] = kQe[idx[cx]].nlps;
+      } else {
+        dbit = mps[cx];
+        idx[cx] = kQe[idx[cx]].nmps;
+      }
+    }
+    do {
+      if (ct == 0) bytein();
+      a = (a << 1) & 0xFFFF;
+      c <<= 1;
+      ct -= 1;
+    } while (!(a & 0x8000));
+    return dbit;
+  }
+};
+
+struct RawDec {  // bypass-mode raw reader with 0xFF stuffing
+  const uint8_t* d;
+  long long n, bp;
+  uint8_t buf;
+  int ct;
+  void init(const uint8_t* data, long long len) {
+    d = data;
+    n = len;
+    bp = 0;
+    buf = 0;
+    ct = 0;
+  }
+  int read() {
+    if (ct == 0) {
+      uint8_t prev = buf;
+      buf = bp < n ? d[bp] : 0xFF;
+      bp += 1;
+      ct = prev == 0xFF ? 7 : 8;
+    }
+    ct -= 1;
+    return (buf >> ct) & 1;
+  }
+};
+
+// significance context (Table D.1); kind: 0 = LL/LH, 1 = HL, 2 = HH
+inline int sig_ctx(int kind, int h, int v, int d) {
+  if (kind == 1) std::swap(h, v);
+  if (kind != 2) {
+    if (h == 2) return 8;
+    if (h == 1) return v >= 1 ? 7 : (d >= 1 ? 6 : 5);
+    if (v == 2) return 4;
+    if (v == 1) return 3;
+    return d >= 2 ? 2 : d;
+  }
+  int hv = h + v;
+  if (d >= 3) return 8;
+  if (d == 2) return hv >= 1 ? 7 : 6;
+  if (d == 1) return hv >= 2 ? 5 : (hv == 1 ? 4 : 3);
+  return hv >= 2 ? 2 : hv;
+}
+
+inline void sign_ctx(int hc, int vc, int* cx, int* xorbit) {
+  static const int tab[3][3][2] = {
+      // hc=-1            hc=0           hc=1      (vc rows: -1, 0, 1)
+      {{13, 1}, {12, 1}, {11, 1}},  // hc == -1
+      {{10, 1}, {9, 0}, {10, 0}},   // hc == 0
+      {{11, 0}, {12, 0}, {13, 0}},  // hc == 1
+  };
+  *cx = tab[hc + 1][vc + 1][0];
+  *xorbit = tab[hc + 1][vc + 1][1];
+}
+
+struct BlockDec {
+  int w, h, kind, cbstyle, bp_start;
+  bool causal;
+  std::vector<uint8_t> sig, sgnneg;  // (h+2)x(w+2) padded
+  std::vector<uint8_t> visited, refined;  // h x w
+  std::vector<int64_t> mag;               // h x w
+  MQDec mq;
+  RawDec raw;
+  bool use_raw = false;
+
+  int pad() const { return w + 2; }
+  inline int nb_counts(int y, int x, int* hs, int* vs, int* ds) const {
+    int ys = y + 1, xs = x + 1, p = pad();
+    const uint8_t* s = sig.data();
+    int vn = s[(ys - 1) * p + xs], vs_ = s[(ys + 1) * p + xs];
+    int dn = s[(ys - 1) * p + xs - 1] + s[(ys - 1) * p + xs + 1];
+    int dsn = s[(ys + 1) * p + xs - 1] + s[(ys + 1) * p + xs + 1];
+    if (causal && (y % 4) == 0) vn = 0, dn = 0;
+    if (causal && (y % 4) == 3) vs_ = 0, dsn = 0;
+    *hs = s[ys * p + xs - 1] + s[ys * p + xs + 1];
+    *vs = vn + vs_;
+    *ds = dn + dsn;
+    return 0;
+  }
+  inline int bit(int cx) { return use_raw ? raw.read() : mq.decode(cx); }
+  inline int uni() { return use_raw ? raw.read() : mq.decode(kCtxUni); }
+
+  void make_sig(int y, int x, int bp) {
+    mag[y * w + x] |= 1LL << bp;
+    int ys = y + 1, xs = x + 1, p = pad();
+    auto contrib = [&](int yy, int xx) -> int {
+      if (!sig[yy * p + xx]) return 0;
+      return sgnneg[yy * p + xx] ? -1 : 1;
+    };
+    int vup = contrib(ys - 1, xs), vdn = contrib(ys + 1, xs);
+    if (causal && (y % 4) == 0) vup = 0;
+    if (causal && (y % 4) == 3) vdn = 0;
+    int hc = contrib(ys, xs - 1) + contrib(ys, xs + 1);
+    int vc = vup + vdn;
+    hc = hc < -1 ? -1 : (hc > 1 ? 1 : hc);
+    vc = vc < -1 ? -1 : (vc > 1 ? 1 : vc);
+    int cx, xorbit;
+    sign_ctx(hc, vc, &cx, &xorbit);
+    int neg = bit(cx) ^ xorbit;
+    sig[ys * p + xs] = 1;
+    sgnneg[ys * p + xs] = static_cast<uint8_t>(neg);
+  }
+
+  void spp(int bp) {  // significance propagation
+    for (int y0 = 0; y0 < h; y0 += 4) {
+      int y1 = std::min(y0 + 4, h);
+      for (int x = 0; x < w; ++x)
+        for (int y = y0; y < y1; ++y) {
+          if (sig[(y + 1) * pad() + x + 1] || visited[y * w + x]) continue;
+          int hs, vs, ds;
+          nb_counts(y, x, &hs, &vs, &ds);
+          if (hs + vs + ds == 0) continue;
+          if (bit(sig_ctx(kind, hs, vs, ds))) make_sig(y, x, bp);
+          visited[y * w + x] = 1;
+        }
+    }
+  }
+
+  void mrp(int bp) {  // magnitude refinement
+    for (int y0 = 0; y0 < h; y0 += 4) {
+      int y1 = std::min(y0 + 4, h);
+      for (int x = 0; x < w; ++x)
+        for (int y = y0; y < y1; ++y) {
+          if (!sig[(y + 1) * pad() + x + 1] || visited[y * w + x]) continue;
+          int cx;
+          if (refined[y * w + x]) {
+            cx = 16;
+          } else {
+            int hs, vs, ds;
+            nb_counts(y, x, &hs, &vs, &ds);
+            cx = (hs + vs + ds) ? 15 : 14;
+          }
+          mag[y * w + x] |= static_cast<int64_t>(bit(cx)) << bp;
+          refined[y * w + x] = 1;
+          visited[y * w + x] = 1;
+        }
+    }
+  }
+
+  void cup(int bp) {  // cleanup with run-length mode
+    int p = pad();
+    for (int y0 = 0; y0 < h; y0 += 4) {
+      int y1 = std::min(y0 + 4, h);
+      for (int x = 0; x < w; ++x) {
+        int y = y0;
+        while (y < y1) {
+          if (y == y0 && y1 - y0 == 4) {
+            bool all_zero = true;
+            for (int yk = y0; yk < y1; ++yk) {
+              if (visited[yk * w + x] || sig[(yk + 1) * p + x + 1]) {
+                all_zero = false;
+                break;
+              }
+              int hs = sig[(yk + 1) * p + x] + sig[(yk + 1) * p + x + 2];
+              int vn = sig[yk * p + x + 1], vs_ = sig[(yk + 2) * p + x + 1];
+              int ds = sig[yk * p + x] + sig[yk * p + x + 2] +
+                       sig[(yk + 2) * p + x] + sig[(yk + 2) * p + x + 2];
+              if (hs || vn || vs_ || ds) {
+                all_zero = false;
+                break;
+              }
+            }
+            if (all_zero) {
+              if (bit(kCtxRl) == 0) {
+                y = y1;
+                continue;
+              }
+              int r2 = (uni() << 1) | uni();
+              y = y0 + r2;
+              make_sig(y, x, bp);
+              ++y;
+              continue;
+            }
+          }
+          if (!visited[y * w + x] && !sig[(y + 1) * p + x + 1]) {
+            int hs, vs, ds;
+            nb_counts(y, x, &hs, &vs, &ds);
+            if (bit(sig_ctx(kind, hs, vs, ds))) make_sig(y, x, bp);
+          }
+          ++y;
+        }
+      }
+    }
+  }
+};
+
+}  // namespace j2k
+
 extern "C" {
 
 // --- single-file API -------------------------------------------------------
@@ -717,6 +1012,93 @@ int cadx_loader_next2(void* handle, float* data_out, int32_t* labels_out,
   std::memcpy(ok_out, b.ok.data(), b.ok.size() * sizeof(int32_t));
   *start_out = b.start;
   return b.count;
+}
+
+// Decode one JPEG 2000 code-block (EBCOT tier-1). blob = concatenated
+// coded bytes; segments (seg_bytes/seg_passes/seg_raw) delimit codeword
+// terminations exactly as cadx_tpu/data/j2k.py computes them. kind:
+// 0 = LL/LH, 1 = HL, 2 = HH. Writes h*w signed coefficients (magnitude
+// bits as decoded — the caller applies mid-point reconstruction).
+// Returns 0 on success.
+int cadx_j2k_decode_block(const uint8_t* blob, long long blob_len,
+                          const int64_t* seg_bytes,
+                          const int32_t* seg_passes,
+                          const int32_t* seg_raw, int n_segs, int w, int h,
+                          int bp_start, int kind, int cbstyle,
+                          int64_t* out) {
+  if (w <= 0 || h <= 0 || bp_start < 0 || bp_start > 62) return 1;
+  int n_passes = 0;
+  for (int i = 0; i < n_segs; ++i) n_passes += seg_passes[i];
+  if (n_passes <= 0) {
+    std::memset(out, 0, sizeof(int64_t) * w * h);
+    return 0;
+  }
+  // pass schedule: pass 0 = cleanup at bp_start, then SPP/MRP/CUP per
+  // lower plane
+  std::vector<int> ptype(n_passes), pbp(n_passes);
+  ptype[0] = 2;
+  pbp[0] = bp_start;
+  {
+    int bp = bp_start, k = 1;
+    while (k < n_passes) {
+      bp -= 1;
+      if (bp < 0) return 2;  // more passes than bit-planes: corrupt
+      for (int t = 0; t < 3 && k < n_passes; ++t, ++k) {
+        ptype[k] = t;
+        pbp[k] = bp;
+      }
+    }
+  }
+  j2k::BlockDec bd;
+  bd.w = w;
+  bd.h = h;
+  bd.kind = kind;
+  bd.cbstyle = cbstyle;
+  bd.bp_start = bp_start;
+  bd.causal = (cbstyle & 8) != 0;
+  bd.sig.assign((h + 2) * (w + 2), 0);
+  bd.sgnneg.assign((h + 2) * (w + 2), 0);
+  bd.visited.assign(h * w, 0);
+  bd.refined.assign(h * w, 0);
+  bd.mag.assign(static_cast<size_t>(h) * w, 0);
+  bd.mq.reset_ctx();
+  const bool reset_ctx = cbstyle & 2;
+  const bool segsym = cbstyle & 32;
+
+  long long pos = 0;
+  int k = 0;
+  for (int s = 0; s < n_segs && k < n_passes; ++s) {
+    long long len = seg_bytes[s];
+    if (pos + len > blob_len) return 3;
+    bd.use_raw = seg_raw[s] != 0;
+    if (bd.use_raw)
+      bd.raw.init(blob + pos, len);
+    else
+      bd.mq.init(blob + pos, len);  // contexts persist across segments
+    for (int i = 0; i < seg_passes[s] && k < n_passes; ++i, ++k) {
+      int t = ptype[k], bp = pbp[k];
+      if (t == 0)
+        bd.spp(bp);
+      else if (t == 1)
+        bd.mrp(bp);
+      else {
+        bd.cup(bp);
+        if (segsym && !bd.use_raw)
+          for (int j = 0; j < 4; ++j) bd.mq.decode(j2k::kCtxUni);
+        std::fill(bd.visited.begin(), bd.visited.end(), 0);
+      }
+      if (reset_ctx) bd.mq.reset_ctx();
+    }
+    pos += len;
+  }
+  const int p = w + 2;
+  for (int y = 0; y < h; ++y)
+    for (int x = 0; x < w; ++x) {
+      int64_t m = bd.mag[static_cast<size_t>(y) * w + x];
+      out[static_cast<size_t>(y) * w + x] =
+          bd.sgnneg[(y + 1) * p + x + 1] ? -m : m;
+    }
+  return 0;
 }
 
 int cadx_loader_next(void* handle, float* data_out, int32_t* labels_out,
