@@ -811,11 +811,25 @@ def _idwt53_1d(low: np.ndarray, high: np.ndarray, parity: int, axis: int
                ) -> np.ndarray:
     """1D inverse 5/3 along `axis`. parity = u0 & 1 of the merged signal
     (0: even samples are low)."""
+    if (low.ndim == 2 and axis in (0, 1)
+            and low.shape[axis] + high.shape[axis] >= 2):
+        # native fast path (same CADX_J2K_NATIVE gate / dead-flag as
+        # tier-1); numpy below is the reference implementation
+        global _native_j2k_dead
+        if _NATIVE_J2K and not _native_j2k_dead:
+            try:
+                from cadx_tpu.data import native_loader
+                out = native_loader.idwt53_1d(low, high, parity, axis)
+            except Exception:
+                _native_j2k_dead = True
+            else:
+                if out is not None:
+                    return out
     low = np.moveaxis(low, axis, 0).astype(np.int64)
     high = np.moveaxis(high, axis, 0).astype(np.int64)
     nl, nh = low.shape[0], high.shape[0]
     n = nl + nh
-    out = np.zeros((n,) + low.shape[1:], np.int64)
+    out = np.empty((n,) + low.shape[1:], np.int64)
     if n == 1:
         out[0] = low[0] if parity == 0 else high[0] >> 1 if False else high[0]
         # single-sample: if it's a high sample (parity 1, nl==0) the
@@ -827,27 +841,33 @@ def _idwt53_1d(low: np.ndarray, high: np.ndarray, parity: int, axis: int
     # Use the standard lifting on the interleaved signal Y:
     # x_even = Y_even - floor((Y[i-1] + Y[i+1] + 2)/4)   (even = low pos)
     # x_odd  = Y_odd + floor((x[i-1] + x[i+1]) / 2)
-    y = np.zeros_like(out)
+    # Over indices i-1/i+1 for i in [0, n), the symmetric extension only
+    # ever maps -1 -> 1 and n -> n-2 (parity-preserving), so neighbor
+    # access is a 1-sample symmetric pad + strided slices — no gathers
+    # (full-array fancy indexing was the hot spot at mammogram sizes).
+    y = np.empty_like(out)
     if parity == 0:
         y[0::2] = low
         y[1::2] = high
-        even_idx = np.arange(0, n, 2)
-        odd_idx = np.arange(1, n, 2)
+        p_low, p_high = 0, 1
     else:
         y[0::2] = high
         y[1::2] = low
-        even_idx = np.arange(1, n, 2)   # low positions
-        odd_idx = np.arange(0, n, 2)    # high positions
-    x = np.zeros_like(y)
-    # step 1: reconstruct at low positions
-    im1 = _sym_ext_idx(even_idx - 1, n)
-    ip1 = _sym_ext_idx(even_idx + 1, n)
-    # neighbors at odd (high) positions of y
-    x[even_idx] = y[even_idx] - ((y[im1] + y[ip1] + 2) >> 2)
-    # step 2: reconstruct at high positions using x at low positions
-    im1 = _sym_ext_idx(odd_idx - 1, n)
-    ip1 = _sym_ext_idx(odd_idx + 1, n)
-    x[odd_idx] = y[odd_idx] + ((x[im1] + x[ip1]) >> 1)
+        p_low, p_high = 1, 0
+    x = np.empty_like(y)
+
+    def _nbrs(src, p0, m):
+        """(left, right) neighbor views for positions p0, p0+2, ... —
+        src padded so pad[k] == x_sym_ext[k-1]."""
+        pad = np.concatenate([src[1:2], src, src[n - 2:n - 1]], axis=0)
+        return pad[p0:p0 + 2 * m:2], pad[p0 + 2:p0 + 2 + 2 * m:2]
+
+    m_low = (n - p_low + 1) // 2
+    l1, r1 = _nbrs(y, p_low, m_low)          # high-position neighbors
+    x[p_low::2] = y[p_low::2] - ((l1 + r1 + 2) >> 2)
+    m_high = (n - p_high + 1) // 2
+    l2, r2 = _nbrs(x, p_high, m_high)        # low positions, just written
+    x[p_high::2] = y[p_high::2] + ((l2 + r2) >> 1)
     return np.moveaxis(x, 0, axis)
 
 
@@ -868,28 +888,30 @@ def _idwt97_1d(low: np.ndarray, high: np.ndarray, parity: int, axis: int
     if n == 1:
         out = low if nl else high
         return np.moveaxis(out, 0, axis)
-    y = np.zeros((n,) + low.shape[1:], np.float64)
+    y = np.empty((n,) + low.shape[1:], np.float64)
     if parity == 0:
         y[0::2] = low * _K97
         y[1::2] = high / _K97
-        even_idx = np.arange(0, n, 2)
-        odd_idx = np.arange(1, n, 2)
+        p_low, p_high = 0, 1
     else:
         y[0::2] = high / _K97
         y[1::2] = low * _K97
-        even_idx = np.arange(1, n, 2)
-        odd_idx = np.arange(0, n, 2)
+        p_low, p_high = 1, 0
     x = y
 
-    def lift(idx, coef):
-        im1 = _sym_ext_idx(idx - 1, n)
-        ip1 = _sym_ext_idx(idx + 1, n)
-        x[idx] = x[idx] + coef * (x[im1] + x[ip1])
+    def lift(p0, coef):
+        # same pad-and-slice neighbor trick as _idwt53_1d (sym ext of
+        # i+-1 only maps -1->1, n->n-2; neighbors are the other parity,
+        # already holding their current lifting-stage values)
+        m = (n - p0 + 1) // 2
+        pad = np.concatenate([x[1:2], x, x[n - 2:n - 1]], axis=0)
+        x[p0::2] += coef * (pad[p0:p0 + 2 * m:2]
+                            + pad[p0 + 2:p0 + 2 + 2 * m:2])
 
-    lift(even_idx, -_D97)
-    lift(odd_idx, -_G97)
-    lift(even_idx, -_B97)
-    lift(odd_idx, -_A97)
+    lift(p_low, -_D97)
+    lift(p_high, -_G97)
+    lift(p_low, -_B97)
+    lift(p_high, -_A97)
     return np.moveaxis(x, 0, axis)
 
 

@@ -113,6 +113,13 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.c_int, ctypes.c_int,
                 np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
             lib.cadx_j2k_decode_block.restype = ctypes.c_int
+            lib.cadx_idwt53_1d.argtypes = [
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int,
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
+            lib.cadx_idwt53_1d.restype = ctypes.c_int
             lib.cadx_loader_destroy.argtypes = [ctypes.c_void_p]
             lib.cadx_loader_destroy.restype = None
             _lib = lib
@@ -186,6 +193,27 @@ def decode_j2k_block(segments, w: int, h: int, bp_start: int, kind: int,
     if rc != 0:
         return None
     return out
+
+
+def idwt53_1d(low: np.ndarray, high: np.ndarray, parity: int, axis: int):
+    """Native 1D inverse 5/3 over a 2D plane (bit-identical to the
+    numpy lifting in data/j2k.py::_idwt53_1d; pinned by tests/test_j2k.py).
+    Returns the merged int64 plane, or None on a native reject.
+    Raises NativeUnavailable without a toolchain."""
+    lib = get_lib()
+    low = np.ascontiguousarray(low, np.int64)
+    high = np.ascontiguousarray(high, np.int64)
+    if axis == 0:
+        n_low, other = low.shape
+        n_high = high.shape[0]
+        out = np.empty((n_low + n_high, other), np.int64)
+    else:
+        other, n_low = low.shape
+        n_high = high.shape[1]
+        out = np.empty((other, n_low + n_high), np.int64)
+    rc = lib.cadx_idwt53_1d(low, high, n_low, n_high, other, parity, axis,
+                            out)
+    return out if rc == 0 else None
 
 
 def _box_resize(arr: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:

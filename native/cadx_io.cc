@@ -1108,6 +1108,62 @@ int cadx_loader_next(void* handle, float* data_out, int32_t* labels_out,
                            &start_unused);
 }
 
+// One 1D inverse 5/3 lifting pass (T.800 F.3.8) over a 2D plane, along
+// rows (axis=1) or columns (axis=0) — the hot loop of
+// cadx_tpu/data/j2k.py::_idwt53_1d (bit-identity pinned by
+// tests/test_j2k.py). parity = u0&1 of the merged signal (0: even
+// samples come from `low`). Symmetric extension of i+-1 only maps
+// -1 -> 1 and n -> n-2, handled inline. All >> on negatives are
+// arithmetic (floor), matching numpy int64 semantics.
+int cadx_idwt53_1d(const int64_t* low, const int64_t* high, int n_low,
+                   int n_high, int other, int parity, int axis,
+                   int64_t* out) {
+  const int n = n_low + n_high;
+  if (n < 2 || other <= 0 || axis < 0 || axis > 1) return 1;
+  const int p_low = parity, p_high = 1 - parity;
+  auto sym = [n](int i) { return i < 0 ? 1 : (i >= n ? n - 2 : i); };
+  if (axis == 0) {
+    // low: (n_low, other), high: (n_high, other), out: (n, other)
+    // step 1 (low rows): out[g] = low - floor((H[g-1] + H[g+1] + 2)/4)
+    for (int i = 0; i < n_low; ++i) {
+      const int g = 2 * i + p_low;
+      const int64_t* hl = high + static_cast<size_t>((sym(g - 1) - p_high) / 2) * other;
+      const int64_t* hr = high + static_cast<size_t>((sym(g + 1) - p_high) / 2) * other;
+      const int64_t* lo = low + static_cast<size_t>(i) * other;
+      int64_t* o = out + static_cast<size_t>(g) * other;
+      for (int j = 0; j < other; ++j)
+        o[j] = lo[j] - ((hl[j] + hr[j] + 2) >> 2);
+    }
+    // step 2 (high rows): out[g] = high + floor((x[g-1] + x[g+1])/2)
+    for (int i = 0; i < n_high; ++i) {
+      const int g = 2 * i + p_high;
+      const int64_t* xl = out + static_cast<size_t>(sym(g - 1)) * other;
+      const int64_t* xr = out + static_cast<size_t>(sym(g + 1)) * other;
+      const int64_t* hi = high + static_cast<size_t>(i) * other;
+      int64_t* o = out + static_cast<size_t>(g) * other;
+      for (int j = 0; j < other; ++j) o[j] = hi[j] + ((xl[j] + xr[j]) >> 1);
+    }
+  } else {
+    // low: (other, n_low), high: (other, n_high), out: (other, n)
+    for (int r = 0; r < other; ++r) {
+      const int64_t* lo = low + static_cast<size_t>(r) * n_low;
+      const int64_t* hi = high + static_cast<size_t>(r) * n_high;
+      int64_t* o = out + static_cast<size_t>(r) * n;
+      for (int i = 0; i < n_low; ++i) {
+        const int g = 2 * i + p_low;
+        o[g] = lo[i] - ((hi[(sym(g - 1) - p_high) / 2] +
+                         hi[(sym(g + 1) - p_high) / 2] + 2) >>
+                        2);
+      }
+      for (int i = 0; i < n_high; ++i) {
+        const int g = 2 * i + p_high;
+        o[g] = hi[i] + ((o[sym(g - 1)] + o[sym(g + 1)]) >> 1);
+      }
+    }
+  }
+  return 0;
+}
+
 void cadx_loader_destroy(void* handle) {
   auto* st = static_cast<LoaderState*>(handle);
   st->stop.store(true);
