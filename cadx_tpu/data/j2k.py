@@ -622,12 +622,10 @@ def _decode_block(cb: _CodeBlock, kind: str, mb: int, cbstyle: int,
                                 if visited[yk, x] or sig[yk + 1, x + 1]:
                                     all_zero_ctx = False
                                     break
-                                hs = int(sig[yk + 1, x] + sig[yk + 1, x + 2])
-                                vs_n = int(sig[yk, x + 1])
-                                vs_s = int(sig[yk + 2, x + 1])
-                                ds = int(sig[yk, x] + sig[yk, x + 2]
-                                         + sig[yk + 2, x] + sig[yk + 2, x + 2])
-                                if hs or vs_n or vs_s or ds:
+                                # zero-context test with the same VSC
+                                # masking as normal context formation
+                                hs, vs, ds = _nb_counts(yk, x)
+                                if hs or vs or ds:
                                     all_zero_ctx = False
                                     break
                             if all_zero_ctx:
@@ -683,9 +681,10 @@ def _decode_block(cb: _CodeBlock, kind: str, mb: int, cbstyle: int,
         vs_ = int(s[ys + 1, xs])
         dn = int(s[ys - 1, xs - 1] + s[ys - 1, xs + 1])
         dsn = int(s[ys + 1, xs - 1] + s[ys + 1, xs + 1])
-        if causal and (yy % 4) == 0:
-            vn = 0
-            dn = 0
+        # VSC (stripe-causal) hides only FUTURE (south) stripes: mask the
+        # south contributions at each stripe's last row. The previous
+        # stripe (north) is already coded and stays visible (T.800 D.5;
+        # OpenJPEG masks SIG_S/SE/SW at j == k+3 only).
         if causal and (yy % 4) == 3:
             vs_ = 0
             dsn = 0
@@ -704,14 +703,15 @@ def _decode_block(cb: _CodeBlock, kind: str, mb: int, cbstyle: int,
             if sig[ys - 1, xs] else 0
         vdn = int(sig[ys + 1, xs]) * (1 if sgn[ys + 1, xs] >= 0 else -1) \
             if sig[ys + 1, xs] else 0
-        if causal and (yy % 4) == 0:
-            vup = 0
         if causal and (yy % 4) == 3:
-            vdn = 0
+            vdn = 0  # VSC: south-only masking (see _nb_counts)
         hc = max(-1, min(1, hleft + hright))
         vc = max(-1, min(1, vup + vdn))
         cx, xorbit = _sign_ctx(hc, vc)
-        negative = dec_sign_bit(cx) ^ xorbit
+        # raw (bypass) segments code the sign directly, no prediction
+        # (T.800 D.6; OpenJPEG raw sigpass) — the raw dec_sign_bit
+        # ignores both cx and the xorbit it is handed
+        negative = dec_sign_bit(cx, xorbit)
         sig[ys, xs] = 1
         sgn[ys, xs] = -1 if negative else 1
 
@@ -739,7 +739,7 @@ def _decode_block(cb: _CodeBlock, kind: str, mb: int, cbstyle: int,
                 def dec_sig_bit(cx, rr=rr):
                     return rr.read()
 
-                def dec_sign_bit(cx, rr=rr):
+                def dec_sign_bit(cx, xorbit, rr=rr):
                     return rr.read()
 
                 def dec_uni(rr=rr):
@@ -753,8 +753,8 @@ def _decode_block(cb: _CodeBlock, kind: str, mb: int, cbstyle: int,
                 def dec_sig_bit(cx, mm=mm):
                     return mm.decode(cx)
 
-                def dec_sign_bit(cx, mm=mm):
-                    return mm.decode(cx)
+                def dec_sign_bit(cx, xorbit, mm=mm):
+                    return mm.decode(cx) ^ xorbit
 
                 def dec_uni(mm=mm):
                     return mm.decode(_CTX_UNI)

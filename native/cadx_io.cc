@@ -802,7 +802,10 @@ struct BlockDec {
     int vn = s[(ys - 1) * p + xs], vs_ = s[(ys + 1) * p + xs];
     int dn = s[(ys - 1) * p + xs - 1] + s[(ys - 1) * p + xs + 1];
     int dsn = s[(ys + 1) * p + xs - 1] + s[(ys + 1) * p + xs + 1];
-    if (causal && (y % 4) == 0) vn = 0, dn = 0;
+    // VSC (stripe-causal) hides only FUTURE (south) stripes: mask south
+    // contributions at each stripe's last row. North rows belong to the
+    // already-coded previous stripe and stay visible (T.800 D.5;
+    // OpenJPEG masks T1_SIG_S/SE/SW at j==k+3 only).
     if (causal && (y % 4) == 3) vs_ = 0, dsn = 0;
     *hs = s[ys * p + xs - 1] + s[ys * p + xs + 1];
     *vs = vn + vs_;
@@ -820,15 +823,17 @@ struct BlockDec {
       return sgnneg[yy * p + xx] ? -1 : 1;
     };
     int vup = contrib(ys - 1, xs), vdn = contrib(ys + 1, xs);
-    if (causal && (y % 4) == 0) vup = 0;
-    if (causal && (y % 4) == 3) vdn = 0;
+    if (causal && (y % 4) == 3) vdn = 0;  // VSC: south-only masking
     int hc = contrib(ys, xs - 1) + contrib(ys, xs + 1);
     int vc = vup + vdn;
     hc = hc < -1 ? -1 : (hc > 1 ? 1 : hc);
     vc = vc < -1 ? -1 : (vc > 1 ? 1 : vc);
     int cx, xorbit;
     sign_ctx(hc, vc, &cx, &xorbit);
-    int neg = bit(cx) ^ xorbit;
+    // in a raw (bypass) segment the sign bit is coded directly with no
+    // prediction/xor (T.800 D.6, as OpenJPEG's t1 raw sigpass does);
+    // the MQ path applies the Table-D.3 prediction
+    int neg = use_raw ? raw.read() : (mq.decode(cx) ^ xorbit);
     sig[ys * p + xs] = 1;
     sgnneg[ys * p + xs] = static_cast<uint8_t>(neg);
   }
@@ -883,11 +888,11 @@ struct BlockDec {
                 all_zero = false;
                 break;
               }
-              int hs = sig[(yk + 1) * p + x] + sig[(yk + 1) * p + x + 2];
-              int vn = sig[yk * p + x + 1], vs_ = sig[(yk + 2) * p + x + 1];
-              int ds = sig[yk * p + x] + sig[yk * p + x + 2] +
-                       sig[(yk + 2) * p + x] + sig[(yk + 2) * p + x + 2];
-              if (hs || vn || vs_ || ds) {
+              // zero-context check with the same VSC masking as normal
+              // context formation (OpenJPEG's clnpass vsc flag masking)
+              int hs, vs, ds;
+              nb_counts(yk, x, &hs, &vs, &ds);
+              if (hs || vs || ds) {
                 all_zero = false;
                 break;
               }
