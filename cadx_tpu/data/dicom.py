@@ -46,11 +46,13 @@ TS_JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
 TS_JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
 TS_J2K_LOSSLESS = "1.2.840.10008.1.2.4.90"  # newer TCIA collections
 TS_J2K = "1.2.840.10008.1.2.4.91"           # lossy-allowed (same decoder)
+TS_JPEG_LS = "1.2.840.10008.1.2.4.80"       # lossless (T.87)
+TS_JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"  # near-lossless (same decoder)
 
 _UNCOMPRESSED_TS = {TS_IMPLICIT_LE, TS_EXPLICIT_LE, TS_DEFLATED_LE,
                     TS_EXPLICIT_BE}
 _ENCAPSULATED_TS = {TS_RLE, TS_JPEG_LOSSLESS_P14, TS_JPEG_LOSSLESS_SV1,
-                    TS_J2K_LOSSLESS, TS_J2K}
+                    TS_J2K_LOSSLESS, TS_J2K, TS_JPEG_LS, TS_JPEG_LS_NEAR}
 _SUPPORTED_TS = _UNCOMPRESSED_TS | _ENCAPSULATED_TS
 
 # recognized-but-unsupported syntaxes get a precise error message (the
@@ -60,8 +62,6 @@ _KNOWN_UNSUPPORTED_TS = {
     "1.2.840.10008.1.2.4.201": "HTJ2K lossless",
     "1.2.840.10008.1.2.4.202": "HTJ2K with RPCL",
     "1.2.840.10008.1.2.4.203": "HTJ2K",
-    "1.2.840.10008.1.2.4.80": "JPEG-LS lossless",
-    "1.2.840.10008.1.2.4.81": "JPEG-LS near-lossless",
     "1.2.840.10008.1.2.4.50": "JPEG baseline (lossy 8-bit)",
     "1.2.840.10008.1.2.4.51": "JPEG extended (lossy 12-bit)",
 }
@@ -176,6 +176,8 @@ class DicomFile:
                     decoded.append(_rle_pixels(frame, rows, cols, bits))
                 elif self.transfer_syntax in (TS_J2K_LOSSLESS, TS_J2K):
                     decoded.append(_j2k_pixels(frame, rows, cols))
+                elif self.transfer_syntax in (TS_JPEG_LS, TS_JPEG_LS_NEAR):
+                    decoded.append(_jls_pixels(frame, rows, cols))
                 else:
                     decoded.append(_jpeg_lossless_pixels(frame, rows, cols))
         except (codecs.CodecError, IndexError, struct.error) as e:
@@ -314,6 +316,21 @@ def _jpeg_lossless_pixels(frame: bytes, rows: int, cols: int) -> np.ndarray:
     if arr.shape != (rows, cols):
         raise DicomError(
             f"decoded JPEG size {arr.shape} != Rows/Columns {(rows, cols)}")
+    return arr
+
+
+def _jls_pixels(frame: bytes, rows: int, cols: int) -> np.ndarray:
+    """Decode a JPEG-LS frame (self-written T.87 codec, data/jls.py)."""
+    from cadx_tpu.data.jls import JlsError, jls_decode
+
+    try:
+        arr, _precision = jls_decode(frame)
+    except JlsError as e:
+        raise DicomError(f"JPEG-LS decode failed: {e}") from e
+    if arr.shape != (rows, cols):
+        raise DicomError(
+            f"decoded JPEG-LS size {arr.shape} != Rows/Columns "
+            f"{(rows, cols)}")
     return arr
 
 
@@ -492,6 +509,12 @@ def dcmwrite_minimal(path: str, pixel_array: np.ndarray,
                 if not ok:
                     raise DicomError("cv2 J2K encode failed")
                 enc.append(_unwrap_jp2(bytes(buf)))  # raw codestream
+        elif transfer_syntax in (TS_JPEG_LS, TS_JPEG_LS_NEAR):
+            from cadx_tpu.data import jls
+
+            near = 2 if transfer_syntax == TS_JPEG_LS_NEAR else 0
+            enc = [jls.jls_encode(f, near=near, precision=bits)
+                   for f in frames]
         else:
             enc = [codecs.jpeg_lossless_encode(f, precision=bits)
                    for f in frames]

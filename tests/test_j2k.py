@@ -10,8 +10,9 @@ independent ways:
 
 DICOM wiring (1.2.840.10008.1.2.4.90/.91) is tested end-to-end through
 dcmwrite_minimal/dcmread, incl. multi-frame; unsupported-but-known
-syntaxes (HTJ2K, JPEG-LS, lossy JPEG) must raise a DicomError naming
-the actual gap (round-3 verdict #6).
+syntaxes (HTJ2K, lossy JPEG) must raise a DicomError naming the actual
+gap (round-3 verdict #6; JPEG-LS graduated to a real codec in round 4,
+data/jls.py).
 """
 
 import numpy as np
@@ -154,9 +155,10 @@ def test_dicom_j2k_multiframe(tmp_path, rng):
 
 
 def test_known_unsupported_syntaxes_raise_named_error(tmp_path, rng):
-    """HTJ2K / JPEG-LS / lossy-JPEG files must fail with an error naming
-    the codec, not a generic 'compressed?' guess (verdict #6: no silent
-    gap). Build the file as explicit-LE then patch the meta TS UID."""
+    """HTJ2K / lossy-JPEG files must fail with an error naming the codec,
+    not a generic 'compressed?' guess (verdict #6: no silent gap; JPEG-LS
+    moved off this list in round 4 — see test_jls.py). Build the file as
+    explicit-LE then patch the meta TS UID."""
     img = rng.integers(0, 4096, (16, 16)).astype(np.uint16)
     base = str(tmp_path / "base.dcm")
     dicom.dcmwrite_minimal(base, img, transfer_syntax=dicom.TS_EXPLICIT_LE)
@@ -166,7 +168,7 @@ def test_known_unsupported_syntaxes_raise_named_error(tmp_path, rng):
     at = blob.index(key)
     (old_len,) = np.frombuffer(blob[at + 6:at + 8], "<u2")
     for uid, name in [("1.2.840.10008.1.2.4.201", "HTJ2K"),
-                      ("1.2.840.10008.1.2.4.80", "JPEG-LS")]:
+                      ("1.2.840.10008.1.2.4.50", "JPEG baseline")]:
         val = uid.encode()
         if len(val) % 2:
             val += b"\x00"
