@@ -320,7 +320,18 @@ def _jpeg_lossless_pixels(frame: bytes, rows: int, cols: int) -> np.ndarray:
 
 
 def _jls_pixels(frame: bytes, rows: int, cols: int) -> np.ndarray:
-    """Decode a JPEG-LS frame (self-written T.87 codec, data/jls.py)."""
+    """Decode a JPEG-LS frame, preferring the native (C++) decoder — the
+    pure-Python LOCO-I loop is per-sample and costs tens of seconds on a
+    full-resolution mammogram; data/jls.py stays the bit-identical
+    fallback (and the parity oracle)."""
+    try:
+        from cadx_tpu.data import native_loader
+
+        arr = native_loader.decode_jls(frame, rows, cols)
+        if arr is not None:
+            return arr
+    except Exception:
+        pass  # toolchain missing or native decode failed: python fallback
     from cadx_tpu.data.jls import JlsError, jls_decode
 
     try:

@@ -80,6 +80,11 @@ def get_lib() -> ctypes.CDLL:
                 np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
                 ctypes.c_int, ctypes.c_int]
             lib.cadx_decode_jpeg_lossless.restype = ctypes.c_int
+            lib.cadx_decode_jls.argtypes = [
+                ctypes.c_char_p, ctypes.c_longlong,
+                np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+                ctypes.c_int, ctypes.c_int]
+            lib.cadx_decode_jls.restype = ctypes.c_int
             lib.cadx_decode_rle.argtypes = [
                 ctypes.c_char_p, ctypes.c_longlong,
                 np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
@@ -161,6 +166,18 @@ def decode_jpeg_lossless(frame: bytes, rows: int, cols: int):
     if rc != 0:
         return None
     return out.astype(np.int32)
+
+
+def decode_jls(frame: bytes, rows: int, cols: int):
+    """Native JPEG-LS (T.87) frame decode -> uint16 (rows, cols), or None
+    if the native decoder rejects the stream (caller falls back to the
+    pure-Python codec). Raises NativeUnavailable w/o toolchain."""
+    lib = get_lib()
+    out = np.empty((rows, cols), np.uint16)
+    rc = lib.cadx_decode_jls(frame, len(frame), out, rows, cols)
+    if rc != 0:
+        return None
+    return out
 
 
 def decode_rle(frame: bytes, rows: int, cols: int, bits: int):

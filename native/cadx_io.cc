@@ -49,6 +49,8 @@ bool rle_decode(const uint8_t* frame, size_t len, int rows, int cols,
                 int bits, std::vector<uint16_t>* out);
 bool jpeg_lossless_decode(const uint8_t* data, size_t n, int expect_rows,
                           int expect_cols, std::vector<uint16_t>* out);
+bool jls_decode(const uint8_t* data, size_t n, int expect_rows,
+                int expect_cols, std::vector<uint16_t>* out);
 bool collect_fragments(const uint8_t* v, size_t len, std::vector<uint8_t>* out);
 
 bool is_long_vr(const char* vr) {
@@ -87,7 +89,8 @@ DicomImage parse_dicom(const uint8_t* data, size_t n) {
       explicit_vr = (ts != "1.2.840.10008.1.2");  // encapsulated = explicit
       if (ts != "1.2.840.10008.1.2" && ts != "1.2.840.10008.1.2.1" &&
           ts != "1.2.840.10008.1.2.5" && ts != "1.2.840.10008.1.2.4.57" &&
-          ts != "1.2.840.10008.1.2.4.70") {
+          ts != "1.2.840.10008.1.2.4.70" && ts != "1.2.840.10008.1.2.4.80" &&
+          ts != "1.2.840.10008.1.2.4.81") {
         out.error = "unsupported transfer syntax " + ts;
         return out;
       }
@@ -192,11 +195,17 @@ DicomImage parse_dicom(const uint8_t* data, size_t n) {
       out.error = "bad encapsulated pixel data";
       return out;
     }
-    bool ok = (ts == "1.2.840.10008.1.2.5")
-                  ? rle_decode(frame.data(), frame.size(), rows, cols, bits,
-                               &out.pixels)
-                  : jpeg_lossless_decode(frame.data(), frame.size(), rows,
-                                         cols, &out.pixels);
+    bool ok;
+    if (ts == "1.2.840.10008.1.2.5") {
+      ok = rle_decode(frame.data(), frame.size(), rows, cols, bits,
+                      &out.pixels);
+    } else if (ts == "1.2.840.10008.1.2.4.80" ||
+               ts == "1.2.840.10008.1.2.4.81") {
+      ok = jls_decode(frame.data(), frame.size(), rows, cols, &out.pixels);
+    } else {
+      ok = jpeg_lossless_decode(frame.data(), frame.size(), rows, cols,
+                                &out.pixels);
+    }
     if (!ok || out.pixels.size() != count) {
       out.error = "compressed pixel decode failed";
       return out;
@@ -471,6 +480,292 @@ bool collect_fragments(const uint8_t* v, size_t len, std::vector<uint8_t>* out) 
     off += l;
   }
   return true;
+}
+
+// --- JPEG-LS (ITU-T T.87) decoder -------------------------------------------
+// Fast path for DICOM transfer syntaxes 1.2.840.10008.1.2.4.80/.81; a
+// line-for-line mirror of the pure-Python reference codec
+// cadx_tpu/data/jls.py (the parity oracle — bit-identity pinned in
+// tests/test_jls.py::test_native_matches_python). Single component,
+// 2..16-bit, NEAR >= 0, default or LSE-preset parameters.
+
+struct JlsBitReader {
+  // MSB-first with T.87 A.1 FF stuffing: the byte after any 0xFF data
+  // byte carries only 7 bits (its MSB is a stuffed 0; 0x80+ = marker).
+  const uint8_t* d;
+  size_t n;
+  size_t pos;
+  uint32_t acc = 0;
+  int nleft = 0;
+  bool prev_ff = false;
+  bool ok = true;
+
+  int bit() {
+    if (nleft == 0) {
+      if (pos >= n) { ok = false; return 0; }
+      uint8_t b = d[pos++];
+      if (prev_ff) {
+        if (b & 0x80) { ok = false; return 0; }
+        acc = b; nleft = 7; prev_ff = false;
+      } else {
+        acc = b; nleft = 8; prev_ff = (b == 0xFF);
+      }
+    }
+    nleft--;
+    return (acc >> nleft) & 1;
+  }
+  int bits(int k) {
+    int v = 0;
+    for (int i = 0; i < k; ++i) v = (v << 1) | bit();
+    return v;
+  }
+};
+
+static const int kJlsJ[32] = {0, 0, 0, 0, 1, 1, 1, 1, 2, 2,  2,  2,
+                              3, 3, 3, 3, 4, 4, 5, 5, 6, 6,  7,  7,
+                              8, 9, 10, 11, 12, 13, 14, 15};
+
+struct JlsParams {
+  int maxval, near, reset, t1, t2, t3, range, qbpp, bpp, limit;
+};
+
+static bool jls_make_params(int maxval, int near, int reset, int pt1,
+                            int pt2, int pt3, JlsParams* p) {
+  if (maxval < 1 || maxval > 65535) return false;
+  if (near < 0 || near > std::min(255, maxval / 2)) return false;
+  p->maxval = maxval;
+  p->near = near;
+  p->reset = reset > 0 ? reset : 64;
+  if (pt1 || pt2 || pt3) {
+    p->t1 = pt1; p->t2 = pt2; p->t3 = pt3;
+  } else {  // C.2.4.1.1.1 defaults
+    auto clamp = [&](long long i, int lo) {
+      return (i > maxval || i < lo) ? lo : static_cast<int>(i);
+    };
+    if (maxval >= 128) {
+      int factor = (std::min(maxval, 4095) + 128) / 256;
+      p->t1 = clamp(1LL * factor * (3 - 2) + 2 + 3 * near, near + 1);
+      p->t2 = clamp(1LL * factor * (7 - 3) + 3 + 5 * near, p->t1);
+      p->t3 = clamp(1LL * factor * (21 - 4) + 4 + 7 * near, p->t2);
+    } else {
+      int factor = 256 / (maxval + 1);
+      p->t1 = clamp(std::max(2, 3 / factor + 3 * near), near + 1);
+      p->t2 = clamp(std::max(3, 7 / factor + 5 * near), p->t1);
+      p->t3 = clamp(std::max(4, 21 / factor + 7 * near), p->t2);
+    }
+  }
+  p->range = (maxval + 2 * near) / (2 * near + 1) + 1;
+  p->qbpp = 1;
+  while ((1 << p->qbpp) < p->range) p->qbpp++;
+  p->bpp = 2;
+  while ((1 << p->bpp) < maxval + 1) p->bpp++;
+  p->limit = 2 * (p->bpp + std::max(8, p->bpp));
+  return true;
+}
+
+static inline int jls_quantize(int d, const JlsParams& p) {
+  if (d <= -p.t3) return -4;
+  if (d <= -p.t2) return -3;
+  if (d <= -p.t1) return -2;
+  if (d < -p.near) return -1;
+  if (d <= p.near) return 0;
+  if (d < p.t1) return 1;
+  if (d < p.t2) return 2;
+  if (d < p.t3) return 3;
+  return 4;
+}
+
+static inline int jls_golomb(JlsBitReader* r, int k, int limit, int qbpp) {
+  int high = 0;
+  while (r->ok && r->bit() == 0) {
+    if (++high > limit) { r->ok = false; return 0; }
+  }
+  if (!r->ok) return 0;
+  if (high < limit - qbpp - 1) return (high << k) | (k ? r->bits(k) : 0);
+  if (high == limit - qbpp - 1) return r->bits(qbpp) + 1;
+  r->ok = false;
+  return 0;
+}
+
+static bool jls_decode_scan(JlsBitReader* r, int h, int w,
+                            const JlsParams& p, std::vector<uint16_t>* out) {
+  const int near = p.near, maxval = p.maxval, range = p.range;
+  const long long wrap = 1LL * range * (2 * near + 1);
+  long long a[367];
+  long long b[365] = {0};
+  int c[365] = {0}, nc[367], nn[2] = {0, 0};
+  const long long a0 = std::max(2, (range + 32) / 64);
+  for (int i = 0; i < 367; ++i) { a[i] = a0; nc[i] = 1; }
+  int run_index = 0;
+  std::vector<int> prev(w + 2, 0), cur(w + 2, 0);
+  out->assign(static_cast<size_t>(h) * w, 0);
+  for (int y = 0; y < h; ++y) {
+    cur[0] = prev[1];
+    prev[w + 1] = prev[w];
+    int i = 1;
+    while (i <= w) {
+      int ra = cur[i - 1], rb = prev[i], rc = prev[i - 1], rd = prev[i + 1];
+      int d1 = rd - rb, d2 = rb - rc, d3 = rc - ra;
+      if (std::abs(d1) <= near && std::abs(d2) <= near &&
+          std::abs(d3) <= near) {
+        // ---- run mode (A.7) ----
+        int runval = ra;
+        bool interrupted = false;
+        for (;;) {
+          if (!r->ok) return false;
+          if (r->bit()) {
+            int seg = 1 << kJlsJ[run_index];
+            int fill = std::min(seg, w - i + 1);
+            for (int f = 0; f < fill; ++f) cur[i++] = runval;
+            if (fill == seg && run_index < 31) run_index++;
+            if (i > w) break;
+          } else {
+            int cnt = kJlsJ[run_index] ? r->bits(kJlsJ[run_index]) : 0;
+            if (cnt > w - i + 1) return false;
+            for (int f = 0; f < cnt; ++f) cur[i++] = runval;
+            interrupted = true;
+            break;
+          }
+        }
+        if (!interrupted) continue;
+        // ---- run interruption sample (A.7.2) ----
+        rb = prev[i];
+        int ritype = std::abs(runval - rb) <= near ? 1 : 0;
+        int px = ritype ? runval : rb;
+        int sign = (ritype == 0 && runval > rb) ? -1 : 1;
+        int q = 365 + ritype;
+        long long temp = a[q] + (ritype ? (nc[q] >> 1) : 0);
+        int k = 0;
+        while ((static_cast<long long>(nc[q]) << k) < temp) k++;
+        int emerr = jls_golomb(r, k, p.limit - kJlsJ[run_index] - 1, p.qbpp);
+        if (!r->ok) return false;
+        int t = emerr + ritype;
+        bool flip = (k == 0 && 2 * nn[ritype] < nc[q]);
+        int err;
+        if (flip) err = (t & 1) ? (t + 1) / 2 : -(t / 2);
+        else err = !(t & 1) ? t / 2 : -((t + 1) / 2);
+        if (err < 0) nn[ritype]++;
+        a[q] += (emerr + 1 - ritype) >> 1;
+        if (nc[q] == p.reset) { a[q] >>= 1; nc[q] >>= 1; nn[ritype] >>= 1; }
+        nc[q]++;
+        long long rx = px + 1LL * sign * err * (2 * near + 1);
+        if (rx < -near) rx += wrap;
+        else if (rx > maxval + near) rx -= wrap;
+        if (rx < 0) rx = 0;
+        else if (rx > maxval) rx = maxval;
+        if (run_index > 0) run_index--;
+        cur[i++] = static_cast<int>(rx);
+        continue;
+      }
+      // ---- regular mode (A.4-A.6) ----
+      int q1 = jls_quantize(d1, p), q2 = jls_quantize(d2, p),
+          q3 = jls_quantize(d3, p);
+      int q = 81 * q1 + 9 * q2 + q3;
+      int sign = 1;
+      if (q < 0) { q = -q; sign = -1; }
+      int px;
+      if (rc >= std::max(ra, rb)) px = std::min(ra, rb);
+      else if (rc <= std::min(ra, rb)) px = std::max(ra, rb);
+      else px = ra + rb - rc;
+      px += sign * c[q];
+      if (px < 0) px = 0;
+      else if (px > maxval) px = maxval;
+      int k = 0;
+      while ((static_cast<long long>(nc[q]) << k) < a[q]) k++;
+      int merr = jls_golomb(r, k, p.limit, p.qbpp);
+      if (!r->ok) return false;
+      int err;
+      if (near == 0 && k == 0 && 2 * b[q] <= -nc[q]) {
+        err = (merr & 1) ? (merr - 1) / 2 : -(merr / 2) - 1;
+      } else {
+        err = !(merr & 1) ? merr / 2 : -((merr + 1) / 2);
+      }
+      // variable update + bias cancellation (A.6)
+      b[q] += 1LL * err * (2 * near + 1);
+      a[q] += std::abs(err);
+      if (nc[q] == p.reset) {
+        a[q] >>= 1;
+        b[q] = b[q] >= 0 ? (b[q] >> 1) : -((1 - b[q]) >> 1);
+        nc[q] >>= 1;
+      }
+      nc[q]++;
+      if (b[q] <= -nc[q]) {
+        if (c[q] > -128) c[q]--;
+        b[q] += nc[q];
+        if (b[q] <= -nc[q]) b[q] = -nc[q] + 1;
+      } else if (b[q] > 0) {
+        if (c[q] < 127) c[q]++;
+        b[q] -= nc[q];
+        if (b[q] > 0) b[q] = 0;
+      }
+      long long rx = px + 1LL * sign * err * (2 * near + 1);
+      if (rx < -near) rx += wrap;
+      else if (rx > maxval + near) rx -= wrap;
+      if (rx < 0) rx = 0;
+      else if (rx > maxval) rx = maxval;
+      cur[i++] = static_cast<int>(rx);
+    }
+    for (int x = 0; x < w; ++x)
+      (*out)[static_cast<size_t>(y) * w + x] = static_cast<uint16_t>(cur[x + 1]);
+    std::swap(prev, cur);
+  }
+  return true;
+}
+
+bool jls_decode(const uint8_t* data, size_t n, int expect_rows,
+                int expect_cols, std::vector<uint16_t>* out) {
+  if (n < 4 || data[0] != 0xFF || data[1] != 0xD8) return false;
+  size_t pos = 2;
+  int precision = 0, h = 0, w = 0;
+  int lse_maxval = 0, t1 = 0, t2 = 0, t3 = 0, reset = 64;
+  bool have_sof = false;
+  while (pos + 4 <= n) {
+    if (data[pos] != 0xFF) return false;
+    while (pos + 1 < n && data[pos + 1] == 0xFF) pos++;  // FF fill
+    uint8_t marker = data[pos + 1];
+    pos += 2;
+    if (marker == 0xD9) return false;  // EOI before scan
+    if (marker >= 0xD0 && marker <= 0xD7) return false;  // restarts
+    if (pos + 2 > n) return false;
+    size_t seglen = (data[pos] << 8) | data[pos + 1];
+    if (seglen < 2 || pos + seglen > n) return false;
+    const uint8_t* seg = data + pos + 2;
+    size_t sn = seglen - 2;
+    if (marker == 0xF7) {  // SOF55
+      if (sn < 6) return false;
+      precision = seg[0];
+      h = (seg[1] << 8) | seg[2];
+      w = (seg[3] << 8) | seg[4];
+      if (seg[5] != 1) return false;  // multi-component
+      if (h == 0 || precision < 2 || precision > 16) return false;
+      have_sof = true;
+    } else if (marker == 0xF8) {  // LSE
+      if (sn < 1) return false;
+      if (seg[0] != 1) return false;  // only preset-parameters ID
+      if (sn < 11) return false;
+      lse_maxval = (seg[1] << 8) | seg[2];
+      t1 = (seg[3] << 8) | seg[4];
+      t2 = (seg[5] << 8) | seg[6];
+      t3 = (seg[7] << 8) | seg[8];
+      reset = (seg[9] << 8) | seg[10];
+    } else if (marker == 0xDA) {  // SOS
+      if (!have_sof || sn < 4) return false;
+      int ns = seg[0];
+      if (ns != 1 || sn < static_cast<size_t>(3 + 2 * ns)) return false;
+      int near = seg[1 + 2 * ns];
+      int ilv = seg[2 + 2 * ns];
+      if (ilv != 0) return false;
+      pos += seglen;
+      int maxval = lse_maxval ? lse_maxval : (1 << precision) - 1;
+      JlsParams p;
+      if (!jls_make_params(maxval, near, reset, t1, t2, t3, &p)) return false;
+      if (h != expect_rows || w != expect_cols) return false;
+      JlsBitReader r{data, n, pos};
+      return jls_decode_scan(&r, h, w, p, out);
+    }
+    pos += seglen;
+  }
+  return false;
 }
 
 // Area-average resize (integer-binned), matching resize_area semantics
@@ -955,6 +1250,16 @@ int cadx_decode_jpeg_lossless(const uint8_t* data, long long len,
   std::vector<uint16_t> px;
   if (!jpeg_lossless_decode(data, static_cast<size_t>(len), rows, cols, &px))
     return 1;
+  if (px.size() != static_cast<size_t>(rows) * cols) return 2;
+  std::memcpy(out_buf, px.data(), px.size() * 2);
+  return 0;
+}
+
+// Decode a JPEG-LS frame into rows*cols uint16. Returns 0 on success.
+int cadx_decode_jls(const uint8_t* data, long long len, uint16_t* out_buf,
+                    int rows, int cols) {
+  std::vector<uint16_t> px;
+  if (!jls_decode(data, static_cast<size_t>(len), rows, cols, &px)) return 1;
   if (px.size() != static_cast<size_t>(rows) * cols) return 2;
   std::memcpy(out_buf, px.data(), px.size() * 2);
   return 0;

@@ -151,6 +151,30 @@ def test_error_paths(rng):
         jls_encode(img[None])  # 3-D
 
 
+def test_native_matches_python(rng):
+    """The C++ fast path (native/cadx_io.cc::jls_decode) must be
+    bit-identical to the pure-Python reference codec on every stream
+    class, incl. near-lossless and LSE presets."""
+    from cadx_tpu.data import native_loader as nl
+
+    if not nl.available():
+        pytest.skip("native toolchain unavailable")
+    for name, img in _cases(rng):
+        prec = 8 if img.dtype == np.uint8 else 16
+        for near in (0, 2):
+            enc = jls_encode(img, near=near, precision=prec)
+            py, _ = jls_decode(enc)
+            nat = nl.decode_jls(enc, *img.shape)
+            assert nat is not None, (name, near)
+            np.testing.assert_array_equal(nat, py, err_msg=f"{name}/{near}")
+    img = rng.integers(0, 1001, (40, 40)).astype(np.uint16)
+    enc = jls_encode(img, precision=10, maxval=1000)
+    np.testing.assert_array_equal(nl.decode_jls(enc, 40, 40), img)
+    # malformed streams must be rejected (rc!=0 -> None), not crash
+    assert nl.decode_jls(enc[:30], 40, 40) is None
+    assert nl.decode_jls(b"\x12\x34" * 40, 40, 40) is None
+
+
 def test_dicom_jls_roundtrip(tmp_path, rng):
     img = np.clip(rng.normal(900, 400, (128, 96)), 0, 4095).astype(np.uint16)
     p = str(tmp_path / "jls.dcm")

@@ -109,7 +109,7 @@ def test_loader_rescues_j2k_items(tmp_path, rng):
         img = rng.integers(0, 4096, (40, 32), dtype=np.uint16)
         p = str(tmp_path / f"r{i}.dcm")
         ts = (dicom.TS_J2K_LOSSLESS, dicom.TS_JPEG_LOSSLESS_SV1,
-              dicom.TS_JPEG_LS)[i % 3]  # .80 also rescued (round 4)
+              dicom.TS_JPEG_LS)[i % 3]  # .80 decodes natively in-loader (r4)
         dicom.dcmwrite_minimal(p, img, transfer_syntax=ts)
         paths.append(p)
         labels.append(i)
