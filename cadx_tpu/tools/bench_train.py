@@ -7,8 +7,8 @@ runs the SAME training configurations on one TPU chip (synthetic data of
 identical shapes — CBIS-DDSM itself isn't redistributable).
 
 The advanced config measures warmup (compile + data upload) separately
-from steady-state epochs and reports both the measured short run and the
-projected full 60-epoch wall-clock.
+from steady-state epochs and runs the reference's complete 60-epoch flow
+to completion (measured_60epoch_secs — no projection, round-3 verdict #5).
 """
 
 import json
