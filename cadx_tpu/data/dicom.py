@@ -180,9 +180,15 @@ class DicomFile:
                     decoded.append(_jls_pixels(frame, rows, cols))
                 else:
                     decoded.append(_jpeg_lossless_pixels(frame, rows, cols))
-        except (codecs.CodecError, IndexError, struct.error) as e:
-            # malformed streams may fail mid-parse with raw index/struct
-            # errors; surface every decode failure as DicomError
+        except DicomError:
+            raise
+        except (ValueError, IndexError, KeyError, struct.error, MemoryError,
+                OverflowError, ZeroDivisionError) as e:
+            # malformed streams may fail mid-parse with raw index/struct/
+            # value errors, and corrupt length fields can drive huge
+            # allocations (MemoryError) — surface every decode failure as
+            # DicomError, the serving layer's catch contract (fuzz
+            # finding, round 4; ValueError also covers CodecError/JlsError)
             raise DicomError(f"compressed pixel decode failed: {e}") from e
         dtype = (np.int8 if signed else np.uint8) if bits == 8 else (
             np.int16 if signed else np.uint16)
@@ -350,7 +356,7 @@ def _j2k_pixels(frame: bytes, rows: int, cols: int) -> np.ndarray:
     independently verified against OpenJPEG in tests/test_j2k.py)."""
     from cadx_tpu.data.j2k import j2k_decode
 
-    arr = j2k_decode(frame)
+    arr = j2k_decode(frame, expect_hw=(rows, cols))
     if arr.ndim != 2:
         raise DicomError("J2K multi-component pixel data in a "
                          "single-sample DICOM")

@@ -523,6 +523,13 @@ def _decode_block(cb: _CodeBlock, kind: str, mb: int, cbstyle: int,
     bp_start = mb - 1 - cb.zbp
     if bp_start < 0:
         return coefs
+    if n_passes > 1 + 3 * bp_start:
+        # cleanup at bp_start + (SPP,MRP,CUP) per remaining plane is the
+        # most a valid stream can carry; more means a corrupt header and
+        # would shift by a negative bitplane below (fuzz finding, round 4)
+        raise CodecError(f"J2K: {n_passes} passes exceeds the "
+                         f"{1 + 3 * bp_start} possible at {bp_start + 1} "
+                         "bitplanes")
 
     # Build the pass -> segment mapping. With termall every pass is its
     # own MQ segment; with bypass, raw passes (SPP/MRP beyond the 4th
@@ -920,12 +927,13 @@ def _idwt97_1d(low: np.ndarray, high: np.ndarray, parity: int, axis: int
 # ---------------------------------------------------------------------------
 
 class _Decoder:
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, expect_hw: tuple[int, int] | None = None):
         self.data = data
         self.pos = 0
         self.styles = {}
         self.quants = {}
         self.tiles_done = {}
+        self.expect_hw = expect_hw  # fail-fast SIZ check when known
 
     # --- marker stream ---
     def _u16(self) -> int:
@@ -959,6 +967,23 @@ class _Decoder:
             self.comp_dy.append(yr)
         if any(r != 1 for r in self.comp_dx + self.comp_dy):
             raise CodecError("J2K: component subsampling unsupported")
+
+        # SIZ sanity (fuzz finding, round 4): a corrupt header must fail
+        # here with CodecError, not crash later with a 100s-of-GiB
+        # allocation (MemoryError) or a zero-tile division
+        w, h = self.xsiz - self.xo, self.ysiz - self.yo
+        if w <= 0 or h <= 0 or self.xt <= 0 or self.yt <= 0:
+            raise CodecError("J2K: bad SIZ geometry "
+                             f"({self.xsiz}x{self.ysiz} grid, "
+                             f"{self.xt}x{self.yt} tiles)")
+        if self.ncomp < 1 or self.ncomp > 16:
+            raise CodecError(f"J2K: unsupported component count "
+                             f"{self.ncomp}")
+        if self.expect_hw is not None and (h, w) != self.expect_hw:
+            raise CodecError(f"J2K: SIZ image {h}x{w} != expected "
+                             f"{self.expect_hw}")
+        if h * w > (1 << 28):  # 268 Mpx ≈ 2 GiB f64/component ceiling
+            raise CodecError(f"J2K: image {h}x{w} exceeds sanity bound")
 
         self.ntx = _ceil_div(self.xsiz - self.xto, self.xt)
         self.nty = _ceil_div(self.ysiz - self.yto, self.yt)
@@ -1524,11 +1549,19 @@ def _unwrap_jp2(data: bytes) -> bytes:
     raise CodecError("J2K: no codestream found (not raw, no jp2c box)")
 
 
-def j2k_decode(data: bytes) -> np.ndarray:
+def j2k_decode(data: bytes,
+               expect_hw: tuple[int, int] | None = None) -> np.ndarray:
     """Decode a JPEG 2000 codestream (raw or JP2-boxed) to a numpy array:
     (rows, cols) for single-component, (rows, cols, comps) otherwise.
-    Raises CodecError on malformed or unsupported streams."""
+    Raises CodecError on malformed or unsupported streams.
+
+    expect_hw: when the container (e.g. DICOM Rows/Columns) already knows
+    the image size, the SIZ header is validated against it BEFORE any
+    image-sized allocation (fuzz finding: a corrupt SIZ otherwise drives
+    a multi-GiB np.zeros)."""
     try:
-        return _Decoder(_unwrap_jp2(data)).decode()
-    except (IndexError, struct.error) as e:
-        raise CodecError(f"J2K: malformed stream: {e}") from e
+        return _Decoder(_unwrap_jp2(data), expect_hw).decode()
+    except (IndexError, KeyError, struct.error, MemoryError) as e:
+        # KeyError: corrupt tile headers can reference component styles /
+        # quant tables that were never declared (fuzz finding, round 4)
+        raise CodecError(f"J2K: malformed stream: {e!r}") from e
