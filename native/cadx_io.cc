@@ -1379,7 +1379,7 @@ int cadx_j2k_decode_block(const uint8_t* blob, long long blob_len,
   int k = 0;
   for (int s = 0; s < n_segs && k < n_passes; ++s) {
     long long len = seg_bytes[s];
-    if (pos + len > blob_len) return 3;
+    if (len < 0 || pos + len > blob_len) return 3;
     bd.use_raw = seg_raw[s] != 0;
     if (bd.use_raw)
       bd.raw.init(blob + pos, len);
