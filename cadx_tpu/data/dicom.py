@@ -48,11 +48,14 @@ TS_J2K_LOSSLESS = "1.2.840.10008.1.2.4.90"  # newer TCIA collections
 TS_J2K = "1.2.840.10008.1.2.4.91"           # lossy-allowed (same decoder)
 TS_JPEG_LS = "1.2.840.10008.1.2.4.80"       # lossless (T.87)
 TS_JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"  # near-lossless (same decoder)
+TS_JPEG_BASELINE = "1.2.840.10008.1.2.4.50"  # lossy 8-bit (T.81 SOF0)
+TS_JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"  # lossy 12-bit (T.81 SOF1)
 
 _UNCOMPRESSED_TS = {TS_IMPLICIT_LE, TS_EXPLICIT_LE, TS_DEFLATED_LE,
                     TS_EXPLICIT_BE}
 _ENCAPSULATED_TS = {TS_RLE, TS_JPEG_LOSSLESS_P14, TS_JPEG_LOSSLESS_SV1,
-                    TS_J2K_LOSSLESS, TS_J2K, TS_JPEG_LS, TS_JPEG_LS_NEAR}
+                    TS_J2K_LOSSLESS, TS_J2K, TS_JPEG_LS, TS_JPEG_LS_NEAR,
+                    TS_JPEG_BASELINE, TS_JPEG_EXTENDED}
 _SUPPORTED_TS = _UNCOMPRESSED_TS | _ENCAPSULATED_TS
 
 # recognized-but-unsupported syntaxes get a precise error message (the
@@ -62,8 +65,6 @@ _KNOWN_UNSUPPORTED_TS = {
     "1.2.840.10008.1.2.4.201": "HTJ2K lossless",
     "1.2.840.10008.1.2.4.202": "HTJ2K with RPCL",
     "1.2.840.10008.1.2.4.203": "HTJ2K",
-    "1.2.840.10008.1.2.4.50": "JPEG baseline (lossy 8-bit)",
-    "1.2.840.10008.1.2.4.51": "JPEG extended (lossy 12-bit)",
 }
 
 TAG_TRANSFER_SYNTAX = (0x0002, 0x0010)
@@ -178,6 +179,9 @@ class DicomFile:
                     decoded.append(_j2k_pixels(frame, rows, cols))
                 elif self.transfer_syntax in (TS_JPEG_LS, TS_JPEG_LS_NEAR):
                     decoded.append(_jls_pixels(frame, rows, cols))
+                elif self.transfer_syntax in (TS_JPEG_BASELINE,
+                                              TS_JPEG_EXTENDED):
+                    decoded.append(_jpg_pixels(frame, rows, cols))
                 else:
                     decoded.append(_jpeg_lossless_pixels(frame, rows, cols))
         except DicomError:
@@ -348,6 +352,21 @@ def _jls_pixels(frame: bytes, rows: int, cols: int) -> np.ndarray:
         raise DicomError(
             f"decoded JPEG-LS size {arr.shape} != Rows/Columns "
             f"{(rows, cols)}")
+    return arr
+
+
+def _jpg_pixels(frame: bytes, rows: int, cols: int) -> np.ndarray:
+    """Decode a lossy sequential JPEG frame (self-written T.81 decoder,
+    data/jpg.py, bounded against cv2/libjpeg in tests/test_jpg.py)."""
+    from cadx_tpu.data.jpg import JpegError, jpeg_lossy_decode
+
+    try:
+        arr, _precision = jpeg_lossy_decode(frame)
+    except JpegError as e:
+        raise DicomError(f"lossy JPEG decode failed: {e}") from e
+    if arr.shape != (rows, cols):
+        raise DicomError(
+            f"decoded JPEG size {arr.shape} != Rows/Columns {(rows, cols)}")
     return arr
 
 
@@ -532,6 +551,23 @@ def dcmwrite_minimal(path: str, pixel_array: np.ndarray,
             near = 2 if transfer_syntax == TS_JPEG_LS_NEAR else 0
             enc = [jls.jls_encode(f, near=near, precision=bits)
                    for f in frames]
+        elif transfer_syntax == TS_JPEG_BASELINE:
+            # encoder: cv2's libjpeg build (the lossy DECODER is
+            # self-written, data/jpg.py; independent-encoder fixtures
+            # make the parity test meaningful). 8-bit only per PS3.5 A.4.
+            try:
+                import cv2
+            except ImportError as e:
+                raise DicomError("JPEG baseline encoding needs cv2") from e
+            if bits != 8:
+                raise DicomError("JPEG baseline is 8-bit only")
+            enc = []
+            for f in frames:
+                ok, buf = cv2.imencode(".jpg", f,
+                                       [cv2.IMWRITE_JPEG_QUALITY, 92])
+                if not ok:
+                    raise DicomError("cv2 JPEG encode failed")
+                enc.append(bytes(buf))
         else:
             enc = [codecs.jpeg_lossless_encode(f, precision=bits)
                    for f in frames]

@@ -473,6 +473,10 @@ def test_mutated_compressed_files_raise_dicomerror_only(tmp_path, mammo16):
         dicom.dcmwrite_minimal(p, mammo16,
                                transfer_syntax=dicom.TS_J2K_LOSSLESS)
         seeds.append(open(p, "rb").read())
+        p = str(tmp_path / "seed_jpg.dcm")
+        dicom.dcmwrite_minimal(p, (mammo16 >> 8).astype(np.uint8),
+                               transfer_syntax=dicom.TS_JPEG_BASELINE)
+        seeds.append(open(p, "rb").read())
     except ImportError:
         pass
 

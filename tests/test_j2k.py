@@ -173,10 +173,11 @@ def test_corrupt_siz_fails_fast(rng):
 
 
 def test_known_unsupported_syntaxes_raise_named_error(tmp_path, rng):
-    """HTJ2K / lossy-JPEG files must fail with an error naming the codec,
-    not a generic 'compressed?' guess (verdict #6: no silent gap; JPEG-LS
-    moved off this list in round 4 — see test_jls.py). Build the file as
-    explicit-LE then patch the meta TS UID."""
+    """HTJ2K files must fail with an error naming the codec, not a
+    generic 'compressed?' guess (verdict #6: no silent gap; JPEG-LS and
+    lossy JPEG graduated to real codecs in round 4 — test_jls.py /
+    test_jpg.py). Build the file as explicit-LE then patch the meta TS
+    UID."""
     img = rng.integers(0, 4096, (16, 16)).astype(np.uint16)
     base = str(tmp_path / "base.dcm")
     dicom.dcmwrite_minimal(base, img, transfer_syntax=dicom.TS_EXPLICIT_LE)
@@ -186,7 +187,7 @@ def test_known_unsupported_syntaxes_raise_named_error(tmp_path, rng):
     at = blob.index(key)
     (old_len,) = np.frombuffer(blob[at + 6:at + 8], "<u2")
     for uid, name in [("1.2.840.10008.1.2.4.201", "HTJ2K"),
-                      ("1.2.840.10008.1.2.4.50", "JPEG baseline")]:
+                      ("1.2.840.10008.1.2.4.203", "HTJ2K")]:
         val = uid.encode()
         if len(val) % 2:
             val += b"\x00"
