@@ -976,9 +976,21 @@ class _Decoder:
             raise CodecError("J2K: bad SIZ geometry "
                              f"({self.xsiz}x{self.ysiz} grid, "
                              f"{self.xt}x{self.yt} tiles)")
+        # decode-time DoS bound (fuzz finding): a corrupt SIZ claiming a
+        # ~200M-pixel image passes the positivity checks and then burns
+        # tens of seconds in giant plane allocations. DICOM Rows/Cols
+        # are u16, and real mammograms top out ~24M px; 2^26 is generous.
+        if w > 0xFFFF or h > 0xFFFF or w * h > (1 << 26):
+            raise CodecError(f"J2K: image {h}x{w} exceeds decoder limits")
         if self.ncomp < 1 or self.ncomp > 16:
             raise CodecError(f"J2K: unsupported component count "
                              f"{self.ncomp}")
+        if any(dp > 32 for dp in self.comp_depth):
+            # spec allows Ssiz up to 38 bits, but our output containers
+            # top out at (u)int32 — a corrupt 33+ bit depth would make
+            # the final astype overflow silently (fuzz finding)
+            raise CodecError(f"J2K: unsupported bit depth "
+                             f"{max(self.comp_depth)}")
         if self.expect_hw is not None and (h, w) != self.expect_hw:
             raise CodecError(f"J2K: SIZ image {h}x{w} != expected "
                              f"{self.expect_hw}")
@@ -987,6 +999,11 @@ class _Decoder:
 
         self.ntx = _ceil_div(self.xsiz - self.xto, self.xt)
         self.nty = _ceil_div(self.ysiz - self.yto, self.yt)
+        if self.ntx < 1 or self.nty < 1:
+            # tile-grid origin beyond the image grid: zero tiles (fuzz
+            # finding — `isot % ntx` would divide by zero)
+            raise CodecError("J2K: bad tile grid origin "
+                             f"(XTO/YTO {self.xto},{self.yto})")
         n_tiles = self.ntx * self.nty
 
         # main header
@@ -1096,7 +1113,9 @@ class _Decoder:
                 lo, hi = 0, (1 << depth) - 1
             else:
                 lo, hi = -(1 << (depth - 1)), (1 << (depth - 1)) - 1
-            a = np.clip(np.rint(a), lo, hi)
+            # corrupt irreversible mantissas can yield inf/NaN; clip after
+            # nan_to_num so the cast below never hits an invalid value
+            a = np.clip(np.rint(np.nan_to_num(a)), lo, hi)
             dt = (np.int32 if self.comp_signed[ci] else np.uint32)
             if depth <= 8:
                 dt = np.int8 if self.comp_signed[ci] else np.uint8

@@ -164,7 +164,18 @@ def test_corrupt_siz_fails_fast(rng):
     # codestream layout: SOC(2) SIZ-marker(2) Lsiz(2) Rsiz(2) Xsiz(4)...
     bad = bytearray(stream)
     bad[8:12] = (0x7FFF0000).to_bytes(4, "big")
-    with pytest.raises(CodecError, match="SIZ|sanity"):
+    with pytest.raises(CodecError, match="SIZ|limits"):
+        j2k_decode(bytes(bad))
+    # decode-time DoS bound: a large-but-allocatable corrupt size (fuzz
+    # case burned ~40s of full-plane float ops) must also fail up front
+    bad = bytearray(stream)
+    bad[8:12] = (4_194_344).to_bytes(4, "big")   # Xsiz -> ~200M px
+    with pytest.raises(CodecError, match="limits"):
+        j2k_decode(bytes(bad))
+    # corrupt Ssiz bit depth > 32 would silently overflow the final cast
+    bad = bytearray(stream)
+    bad[42] = 37                                 # Ssiz: 38-bit unsigned
+    with pytest.raises(CodecError, match="bit depth"):
         j2k_decode(bytes(bad))
     with pytest.raises(CodecError, match="expected"):
         j2k_decode(stream, expect_hw=(33, 32))
