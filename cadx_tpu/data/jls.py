@@ -585,6 +585,8 @@ def jls_decode(data: bytes) -> tuple[np.ndarray, int]:
             raise JlsError("marker segment overruns stream")
         seg = data[pos + 2:pos + seg_len]
         if marker == _SOF55:
+            if len(seg) < 6:
+                raise JlsError("truncated SOF55 segment")
             precision, h, w, nf = struct.unpack_from(">BHHB", seg, 0)
             if nf != 1:
                 raise JlsError(
@@ -593,7 +595,13 @@ def jls_decode(data: bytes) -> tuple[np.ndarray, int]:
                 raise JlsError("DNL-deferred height unsupported")
             if not 2 <= precision <= 16:
                 raise JlsError(f"precision {precision} out of range")
+            if h * w > 1 << 28:
+                # decode-size DoS bound (matches j2k/jpg/lossless): fail
+                # before the output-plane allocation, not with MemoryError
+                raise JlsError(f"implausible frame size {h}x{w}")
         elif marker == _LSE:
+            if len(seg) < 1 or (seg[0] == 1 and len(seg) < 11):
+                raise JlsError("truncated LSE segment")
             if seg[0] == 1:  # preset coding parameters
                 maxval, t1, t2, t3, reset = struct.unpack_from(
                     ">HHHHH", seg, 1)
@@ -603,6 +611,8 @@ def jls_decode(data: bytes) -> tuple[np.ndarray, int]:
         elif marker == _SOS:
             if precision is None:
                 raise JlsError("SOS before SOF55")
+            if len(seg) < 5:
+                raise JlsError("truncated SOS segment")
             ns = seg[0]
             if ns != 1:
                 raise JlsError(

@@ -155,6 +155,8 @@ def jpeg_lossy_decode(data: bytes) -> tuple[np.ndarray, int]:
             raise JpegError(f"expected marker, got 0x{data[pos]:02x}")
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1  # FF fill
+        if pos + 1 >= len(data):
+            raise JpegError("truncated marker stream")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:
@@ -166,6 +168,8 @@ def jpeg_lossy_decode(data: bytes) -> tuple[np.ndarray, int]:
             raise JpegError("marker segment overruns stream")
         seg = data[pos + 2:pos + seg_len]
         if marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended
+            if len(seg) < 9:
+                raise JpegError("truncated SOF segment")
             precision, h, w, nf = struct.unpack_from(">BHHB", seg, 0)
             if nf != 1:
                 raise JpegError(
@@ -177,6 +181,11 @@ def jpeg_lossy_decode(data: bytes) -> tuple[np.ndarray, int]:
             # seg = P Y Y X X Nf, then per component: Ci, HiVi, Tqi
             if seg[7] != 0x11:
                 raise JpegError("subsampled single component nonsensical")
+            if h * w > 1 << 28:
+                # decode-size DoS bound (matches j2k/jls/lossless): a
+                # hostile SOF would otherwise drive multi-GiB coefficient
+                # allocations before the DICOM Rows/Columns check
+                raise JpegError(f"implausible frame size {h}x{w}")
             qsel = seg[8]
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -187,6 +196,8 @@ def jpeg_lossy_decode(data: bytes) -> tuple[np.ndarray, int]:
             while off < len(seg):
                 tc, th = seg[off] >> 4, seg[off] & 15
                 bits = list(seg[off + 1:off + 17])
+                if len(bits) < 16:
+                    raise JpegError("truncated DHT segment")
                 n = sum(bits)
                 vals = bytes(seg[off + 17:off + 17 + n])
                 htables[(tc, th)] = _HuffTable(bits, vals)
@@ -196,6 +207,8 @@ def jpeg_lossy_decode(data: bytes) -> tuple[np.ndarray, int]:
             while off < len(seg):
                 pq, tq = seg[off] >> 4, seg[off] & 15
                 if pq:
+                    if off + 129 > len(seg):
+                        raise JpegError("truncated DQT segment")
                     q = np.frombuffer(seg[off + 1:off + 129],
                                       ">u2").astype(np.int32)
                     off += 129
@@ -207,10 +220,14 @@ def jpeg_lossy_decode(data: bytes) -> tuple[np.ndarray, int]:
                     raise JpegError("short DQT")
                 qtables[tq] = q
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise JpegError("truncated DRI segment")
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
             if precision is None:
                 raise JpegError("SOS before SOF")
+            if len(seg) < 6:
+                raise JpegError("truncated SOS segment")
             ns = seg[0]
             if ns != 1:
                 raise JpegError(f"multi-component scan unsupported (Ns={ns})")

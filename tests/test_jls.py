@@ -149,6 +149,13 @@ def test_error_paths(rng):
         jls_encode(img.astype(np.float32))  # bad dtype
     with pytest.raises(JlsError):
         jls_encode(img[None])  # 3-D
+    # decode-size DoS bound: forged 65535x65535 dims must fail before
+    # the output-plane allocation (JlsError, never MemoryError)
+    bad = bytearray(enc)
+    y_at = enc.index(bytes([0xFF, 0xF7])) + 5
+    bad[y_at:y_at + 4] = b"\xff\xff\xff\xff"
+    with pytest.raises(JlsError, match="implausible"):
+        jls_decode(bytes(bad))
 
 
 def test_native_matches_python(rng):

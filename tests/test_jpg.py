@@ -167,6 +167,36 @@ def test_error_paths(rng):
             jpeg_lossy_decode(bytes(pbuf))
 
 
+def test_hostile_header_guards(rng):
+    """Decode-size DoS bound + truncated-segment errors stay JpegError
+    (never raw IndexError/struct.error/MemoryError)."""
+    buf = bytearray(_enc(_natural(rng)))
+    sof = buf.find(b"\xff\xc0")
+    assert sof >= 0
+    # forge 65535x65535 dims: ~4.3G px would allocate ~17GB of
+    # coefficient planes without the 1<<28 bound
+    hostile = bytes(buf[:sof + 5]) + b"\xff\xff\xff\xff" + bytes(buf[sof + 9:])
+    with pytest.raises(JpegError, match="implausible"):
+        jpeg_lossy_decode(hostile)
+    # truncation at every prefix length must raise JpegError only
+    base = bytes(buf)
+    for cut in range(2, min(len(base), 220)):
+        with pytest.raises(JpegError):
+            jpeg_lossy_decode(base[:cut])
+    # single-byte mutations over the header region: JpegError or a
+    # successful decode, nothing else (mirrors the DICOM-level fuzz)
+    rnd = np.random.RandomState(7)
+    scan_start = base.find(b"\xff\xda")
+    for _ in range(300):
+        i = int(rnd.randint(2, max(scan_start + 12, 16)))
+        m = bytearray(base)
+        m[i] ^= 1 << int(rnd.randint(8))
+        try:
+            jpeg_lossy_decode(bytes(m))
+        except JpegError:
+            pass
+
+
 def test_dicom_jpeg_baseline_roundtrip(tmp_path, rng):
     img = _natural(rng, 96, 80)
     p = str(tmp_path / "jpg.dcm")
