@@ -181,6 +181,27 @@ def main():
         }))
         return
 
+    try:
+        result = _measure()
+    except Exception as e:  # noqa: BLE001 — resilience: a remote Mosaic
+        # compile failure in any Pallas kernel must still yield a number
+        # (the XLA fallbacks are bit-identical, just slower). A logic bug
+        # would fail the XLA pass too and re-raise there.
+        if os.environ.get("CADX_DISABLE_PALLAS") == "1":
+            raise
+        os.environ["CADX_DISABLE_PALLAS"] = "1"
+        jax.clear_caches()
+        result = _measure()
+        result["pallas_compile_error"] = repr(e)[:400]
+        result["note"] = ("Pallas kernel failed on-device compile; these are "
+                          "XLA-fallback numbers (bit-identical, slower). "
+                          "Bisect via ops/components._use_pallas.")
+    print(json.dumps(result))
+
+
+def _measure() -> dict:
+    import os
+
     from cadx_tpu.models import cnn, unet
     from cadx_tpu.ops.resize import resize_linear
     from cadx_tpu.pipeline import fused
@@ -334,12 +355,13 @@ def main():
         "equalize": _use_pallas(512, 512, planes=8),
         "fused_front_pectoral": _use_pallas(512, 512, planes=16),
     }
-    assert gates_512["largest_obj"] and gates_512["equalize"], (
-        "Pallas gate must engage for the standalone kernels at 512 "
-        f"(got {gates_512})")
+    if os.environ.get("CADX_DISABLE_PALLAS") != "1":
+        assert gates_512["largest_obj"] and gates_512["equalize"], (
+            "Pallas gate must engage for the standalone kernels at 512 "
+            f"(got {gates_512})")
 
     target = 1000.0
-    print(json.dumps({
+    return {
         "metric": "images/sec/chip end-to-end (preproc+seg+classify+Grad-CAM) at 256x256",
         "value": round(imgs_per_sec, 1),
         "unit": "img/s",
@@ -365,7 +387,7 @@ def main():
         },
         "est_mfu": round(est_mfu, 4),
         "est_membw_util": round(est_membw, 4),
-    }))
+    }
 
 
 if __name__ == "__main__":
