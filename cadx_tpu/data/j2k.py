@@ -1381,12 +1381,12 @@ class _Decoder:
 
         pos = 0
         for (ci, r, p, l) in seq:
-            pos = self._read_one_packet(data, pos, tcomps[ci], r, p)
+            pos = self._read_one_packet(data, pos, tcomps[ci], r, p, l)
             if pos >= len(data):
                 break
 
     def _read_one_packet(self, data: bytes, pos: int, tc: _TileComp,
-                         r: int, p: int) -> int:
+                         r: int, p: int, layer: int) -> int:
         cs = tc.style
         res = tc.resolutions[r]
         if cs.sop and pos + 6 <= len(data) and \
@@ -1419,19 +1419,9 @@ class _Decoder:
             py0 = max(py0, band.y0)
             if px1 <= px0 or py1 <= py0:
                 continue
-            # code-block index range in this precinct
-            cbw = int(math.log2(max(
-                (band.blocks[0][0].x1 - band.blocks[0][0].x0), 1)))
-            # use grid math instead: blocks are anchored at x0>>cbw
-            # find block coords covered by [px0, px1)
-            # reconstruct cb sizes from the subband grid
-            # (band.blocks row/col count is bh x bw)
-            # block (by, bx) covers [bx0<<cbw ...]; recompute via stored
-            # corners:
             inc_key = (id(band), p)
             if inc_key not in res.inc_trees:
-                # tag trees sized to the precinct's block grid
-                bxs = [bx for bx in range(band.bw)]
+                # tag trees sized to the precinct's block grid:
                 # determine which blocks fall in this precinct
                 cover = []
                 for by in range(band.bh):
@@ -1453,9 +1443,11 @@ class _Decoder:
                 for gx, (by, bx) in enumerate(rowc):
                     cb = band.blocks[by][bx]
                     if not cb.included:
-                        included = inc_tree.decode(rdr, gy, gx, 1)
-                        # first inclusion: tag tree threshold = layer+1;
-                        # single-layer streams: threshold 1
+                        # first inclusion: tag-tree threshold = layer+1
+                        # (B.10.4) — the tree is stateful, so a block
+                        # first included at layer k consumes its
+                        # continuation bits across layers 0..k
+                        included = inc_tree.decode(rdr, gy, gx, layer + 1)
                         if not included:
                             continue
                         cb.included = True

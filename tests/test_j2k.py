@@ -216,3 +216,183 @@ def test_known_unsupported_syntaxes_raise_named_error(tmp_path, rng):
         open(p, "wb").write(patched)
         with pytest.raises(dicom.DicomError, match=name):
             dicom.dcmread(p)
+
+
+# ---------------------------------------------------------------------------
+# Multi-layer codestreams (B.10.4 inclusion tag-tree thresholds)
+# ---------------------------------------------------------------------------
+
+class _MQEncoder:
+    """Minimal T.88 MQ encoder for building test fixtures. Context init
+    mirrors data/j2k.py::_MQDecoder (UNI=46, RL=3, sig0=4); the test
+    round-trips its output through the module's decoder before use, so
+    encoder and decoder cannot drift apart silently."""
+
+    def __init__(self):
+        from cadx_tpu.data.j2k import _CTX_RL, _CTX_UNI, _N_CTX
+
+        self.idx = [0] * _N_CTX
+        self.mps = [0] * _N_CTX
+        self.idx[_CTX_UNI] = 46
+        self.idx[_CTX_RL] = 3
+        self.idx[0] = 4
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        self.out = bytearray([0])  # sentinel byte (dropped at flush)
+
+    def _byteout(self):
+        if self.out[-1] == 0xFF:
+            self.out.append((self.c >> 20) & 0xFF)
+            self.c &= 0xFFFFF
+            self.ct = 7
+        elif self.c < 0x8000000:
+            self.out.append((self.c >> 19) & 0xFF)
+            self.c &= 0x7FFFF
+            self.ct = 8
+        else:
+            self.out[-1] += 1
+            if self.out[-1] == 0xFF:
+                self.c &= 0x7FFFFFF
+                self.out.append((self.c >> 20) & 0xFF)
+                self.c &= 0xFFFFF
+                self.ct = 7
+            else:
+                self.out.append((self.c >> 19) & 0xFF)
+                self.c &= 0x7FFFF
+                self.ct = 8
+
+    def _renorm(self):
+        while True:
+            if self.ct == 0:
+                self._byteout()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c <<= 1
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+
+    def encode(self, d, cx):
+        from cadx_tpu.data.j2k import _QE
+
+        qe, nmps, nlps, switch = _QE[self.idx[cx]]
+        self.a -= qe
+        if d == self.mps[cx]:
+            if self.a & 0x8000:
+                self.c += qe
+            else:
+                if self.a < qe:
+                    self.a = qe
+                else:
+                    self.c += qe
+                self.idx[cx] = nmps
+                self._renorm()
+        else:
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if switch:
+                self.mps[cx] ^= 1
+            self.idx[cx] = nlps
+            self._renorm()
+
+    def flush(self) -> bytes:
+        tempc = self.c + self.a - 1
+        self.c = tempc & 0xFFFF0000
+        if self.c < tempc:
+            self.c += 0x8000
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= self.ct
+        self._byteout()
+        body = bytes(self.out[1:])
+        while body and body[-1] == 0xFF:
+            body = body[:-1]  # discardable terminator
+        return body
+
+
+def _bitpack(bits):
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for j, bit in enumerate(bits[i:i + 8]):
+            b |= bit << (7 - j)
+        out.append(b)
+    return bytes(out)
+
+
+def _two_layer_stream(include_at_layer: int) -> bytes:
+    """Hand-built 8x8 8-bit codestream: levels=0, one all-zero code
+    block, 2 quality layers. include_at_layer=1 puts an empty packet in
+    layer 0 and first-includes the block in layer 1 (inclusion tag-tree
+    value 1, only decodable with the per-layer threshold of B.10.4);
+    include_at_layer=0 is the value-0 control."""
+    import struct as _s
+
+    # cleanup-pass body: one significant sample at (0,0), +1 in the
+    # single decoded bitplane (mb=9, zbp=8). Decision sequence derived
+    # from D.4: stripe-0 col 0 interrupts its run (RL=1, 2 uniform bits
+    # select row 0, sign ctx 9 positive), neighbours then code per-sample
+    # significance zeros in ctx 3/0/0 (col 0) and 5/1/0/0 (col 1), the
+    # remaining 6 + 8 columns are zero runs (RL=0)
+    from cadx_tpu.data.j2k import _CTX_RL, _CTX_UNI, _MQDecoder
+
+    decisions = ([(1, _CTX_RL), (0, _CTX_UNI), (0, _CTX_UNI), (0, 9),
+                  (0, 3), (0, 0), (0, 0),
+                  (0, 5), (0, 1), (0, 0), (0, 0)]
+                 + [(0, _CTX_RL)] * 6 + [(0, _CTX_RL)] * 8)
+    enc = _MQEncoder()
+    for d, cx in decisions:
+        enc.encode(d, cx)
+    body = enc.flush()
+    # self-check: the module's own MQ decoder must read the sequence back
+    dec = _MQDecoder(body)
+    assert [dec.decode(cx) for _, cx in decisions] == [d for d, _ in decisions]
+    assert len(body) <= 7  # must fit the 3-bit first length field
+
+    soc = b"\xff\x4f"
+    siz = b"\xff\x51" + _s.pack(">HHIIIIIIIIH", 41, 0, 8, 8, 0, 0, 8, 8,
+                                0, 0, 1) + bytes([7, 1, 1])
+    # Scod=0, LRCP, 2 layers, no MCT, 0 levels, 64x64 blocks, style 0,
+    # 5/3 reversible
+    cod = b"\xff\x52" + _s.pack(">HBBHB", 12, 0, 0, 2, 0) + bytes(
+        [0, 4, 4, 0, 1])
+    # no quantization, 2 guard bits, LL exponent 8 -> mb = 2 + 8 - 1 = 9
+    qcd = b"\xff\x5c" + _s.pack(">H", 4) + bytes([0x40, 8 << 3])
+
+    full_bits = ([1]            # non-empty packet
+                 + [0] * include_at_layer + [1]   # inclusion tag tree
+                 + [0] * 8 + [1]                  # zbp tag tree: value 8
+                 + [0]          # one coding pass
+                 + [0])         # no lblock increase
+    nbits = len(body)
+    full_bits += [(nbits >> (2 - k)) & 1 for k in range(3)]  # 3-bit len
+    full_pkt = _bitpack(full_bits) + body
+    empty_pkt = b"\x00"
+    if include_at_layer == 0:
+        # layer 1: non-empty packet, already-included block contributes
+        # no new passes (inclusion bit 0)
+        packets = full_pkt + _bitpack([1, 0])
+    else:
+        packets = empty_pkt + full_pkt
+    psot = 12 + 2 + len(packets)
+    sot = b"\xff\x90" + _s.pack(">HHIBB", 10, 0, psot, 0, 1)
+    return soc + siz + cod + qcd + sot + b"\xff\x93" + packets + b"\xff\xd9"
+
+
+@pytest.mark.parametrize("layer", [0, 1])
+def test_two_layer_first_inclusion(layer):
+    """A block first included in quality layer 1 must decode: the
+    inclusion tag tree is read with threshold layer+1 (T.800 B.10.4),
+    so its value-1 coding consumes bits across the layer-0/layer-1
+    packets. Before the round-4 fix the threshold was hardcoded to 1
+    and any multi-layer stream with late first inclusion desynced."""
+    from cadx_tpu.data.j2k import j2k_decode
+
+    out = np.asarray(j2k_decode(_two_layer_stream(layer)))
+    # one +1 coefficient at (0,0) over the unsigned level shift: losing
+    # the layer-1 contribution (the pre-fix desync) flattens it to 128
+    expect = np.full((8, 8), 128)
+    expect[0, 0] = 129
+    np.testing.assert_array_equal(out, expect)
