@@ -428,12 +428,17 @@ class _BitReader:
         self.byte += 2
 
 
-def jpeg_lossless_decode(data: bytes) -> tuple[np.ndarray, int]:
+def jpeg_lossless_decode(data: bytes,
+                         expect_hw: tuple[int, int] | None = None
+                         ) -> tuple[np.ndarray, int]:
     """Decode a single-component JPEG Lossless (SOF3) stream.
 
     Supports predictor selection values 1-7 (DICOM's .70 syntax mandates
     SV1; the others come free from the same reconstruction loop) and
     point transform Al. Returns (array int32 (rows, cols), precision).
+
+    expect_hw: when the container (DICOM Rows/Columns) already knows the
+    size, mismatching SOF3 dims fail before the huffman scan runs.
     """
     if data[:2] != b"\xff\xd8":
         raise CodecError("missing SOI")
@@ -507,6 +512,10 @@ def jpeg_lossless_decode(data: bytes) -> tuple[np.ndarray, int]:
         # corrupt/hostile SOF3 dims would otherwise drive a huge
         # allocation before the size check against the DICOM header
         raise CodecError(f"implausible frame size {rows}x{cols}")
+    if expect_hw is not None and (rows, cols) != expect_hw:
+        # fail before the per-sample huffman loop (hostile streams
+        # declaring huge dims against a small DICOM Rows/Columns)
+        raise CodecError(f"SOF3 size {rows}x{cols} != expected {expect_hw}")
 
     # decode-table: (code, len) -> symbol
     dec = {v: k for k, v in huff_tables[table_id].items()}

@@ -169,6 +169,14 @@ class DicomFile:
         from cadx_tpu.data import codecs
 
         n_frames = max(self.get_is(TAG_NUMBER_OF_FRAMES, 1), 1)
+        if rows * cols > 1 << 28 or n_frames > 4096:
+            # compressed payloads expand: a hostile header (Rows/Cols are
+            # u16, so up to 4.3G px/frame) would drive multi-GiB output
+            # allocations in whichever decoder runs — bound centrally
+            # before any decode work or buffer is created
+            raise DicomError(
+                f"implausible compressed geometry {rows}x{cols}"
+                f"x{n_frames} frames")
         try:
             frames = codecs.split_frames(raw, n_frames)
             decoded = []
@@ -322,7 +330,8 @@ def _jpeg_lossless_pixels(frame: bytes, rows: int, cols: int) -> np.ndarray:
         pass  # toolchain missing or native decode failed: python fallback
     from cadx_tpu.data import codecs
 
-    arr, _precision = codecs.jpeg_lossless_decode(frame)
+    arr, _precision = codecs.jpeg_lossless_decode(
+        frame, expect_hw=(rows, cols))
     if arr.shape != (rows, cols):
         raise DicomError(
             f"decoded JPEG size {arr.shape} != Rows/Columns {(rows, cols)}")
@@ -345,7 +354,7 @@ def _jls_pixels(frame: bytes, rows: int, cols: int) -> np.ndarray:
     from cadx_tpu.data.jls import JlsError, jls_decode
 
     try:
-        arr, _precision = jls_decode(frame)
+        arr, _precision = jls_decode(frame, expect_hw=(rows, cols))
     except JlsError as e:
         raise DicomError(f"JPEG-LS decode failed: {e}") from e
     if arr.shape != (rows, cols):
@@ -361,7 +370,7 @@ def _jpg_pixels(frame: bytes, rows: int, cols: int) -> np.ndarray:
     from cadx_tpu.data.jpg import JpegError, jpeg_lossy_decode
 
     try:
-        arr, _precision = jpeg_lossy_decode(frame)
+        arr, _precision = jpeg_lossy_decode(frame, expect_hw=(rows, cols))
     except JpegError as e:
         raise DicomError(f"lossy JPEG decode failed: {e}") from e
     if arr.shape != (rows, cols):

@@ -555,12 +555,17 @@ def _decode_scan(r: _BitReader, h: int, w: int, p: _Params) -> np.ndarray:
     return out
 
 
-def jls_decode(data: bytes) -> tuple[np.ndarray, int]:
+def jls_decode(data: bytes,
+               expect_hw: tuple[int, int] | None = None
+               ) -> tuple[np.ndarray, int]:
     """Decode a single-component JPEG-LS stream.
 
     Returns (array, precision); dtype is uint8 for precision <= 8 else
     uint16.  Raises JlsError on malformed, truncated, multi-component,
     or DNL-dependent (Y=0) streams.
+
+    expect_hw: when the container (DICOM Rows/Columns) already knows the
+    size, mismatching SOF55 dims fail before the sample loop runs.
     """
     if len(data) < 4 or data[0] != 0xFF or data[1] != _SOI:
         raise JlsError("not a JPEG-LS stream (missing SOI)")
@@ -622,8 +627,21 @@ def jls_decode(data: bytes) -> tuple[np.ndarray, int]:
             if ilv != 0:
                 raise JlsError(f"interleave mode {ilv} unsupported")
             pos += seg_len
+            if expect_hw is not None and (h, w) != expect_hw:
+                # fail BEFORE the per-sample LOCO-I loop: a hostile
+                # stream declaring huge dims against a small DICOM
+                # Rows/Columns would otherwise burn minutes of CPU
+                # before the caller's post-decode shape check
+                raise JlsError(f"SOF55 size {h}x{w} != expected "
+                               f"{expect_hw}")
             if maxval is None or maxval == 0:
                 maxval = (1 << precision) - 1
+            if maxval > (1 << precision) - 1:
+                # an oversized LSE MAXVAL would decode samples beyond
+                # the declared precision and silently wrap in the final
+                # astype (the encoder enforces this same invariant)
+                raise JlsError(f"LSE MAXVAL {maxval} exceeds precision "
+                               f"{precision}")
             p = _Params(maxval, near, reset or 64, thresholds)
             reader = _BitReader(data, pos)
             img = _decode_scan(reader, h, w, p)

@@ -133,12 +133,17 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
-def jpeg_lossy_decode(data: bytes) -> tuple[np.ndarray, int]:
+def jpeg_lossy_decode(data: bytes,
+                      expect_hw: tuple[int, int] | None = None
+                      ) -> tuple[np.ndarray, int]:
     """Decode a single-component sequential-huffman JPEG.
 
     Returns (array, precision); dtype uint8 for precision 8, uint16 for
     12. Raises JpegError on malformed, multi-component, progressive, or
     arithmetic-coded streams.
+
+    expect_hw: when the container (DICOM Rows/Columns) already knows the
+    size, mismatching SOF dims fail before the entropy scan runs.
     """
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise JpegError("not a JPEG stream (missing SOI)")
@@ -238,6 +243,10 @@ def jpeg_lossy_decode(data: bytes) -> tuple[np.ndarray, int]:
             pos += seg_len
             break
         pos += seg_len
+    if expect_hw is not None and (h, w) != expect_hw:
+        # fail before the per-coefficient huffman loop (hostile streams
+        # declaring huge dims against a small DICOM Rows/Columns)
+        raise JpegError(f"SOF size {h}x{w} != expected {expect_hw}")
     if qsel not in qtables:
         raise JpegError(f"quant table {qsel} undeclared")
     if (0, td) not in htables or (1, ta) not in htables:

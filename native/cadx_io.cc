@@ -1223,7 +1223,7 @@ extern "C" {
 // --- single-file API -------------------------------------------------------
 
 // Parse a DICOM file; returns 0 on success. rows/cols/bits written out.
-int cadx_dicom_info(const char* path, int* rows, int* cols, int* bits) {
+int cadx_dicom_info(const char* path, int* rows, int* cols, int* bits) try {
   DicomImage img;
   if (!parse_dicom_cached(path, &img)) return 1;
   if (!img.ok) return 2;
@@ -1231,48 +1231,59 @@ int cadx_dicom_info(const char* path, int* rows, int* cols, int* bits) {
   *cols = img.cols;
   *bits = img.bits;
   return 0;
+} catch (...) {
+  return 9;
 }
 
 // Read pixel data as uint16 into caller-allocated buffer of rows*cols.
-int cadx_dicom_pixels(const char* path, uint16_t* out, int capacity) {
+int cadx_dicom_pixels(const char* path, uint16_t* out, int capacity) try {
   DicomImage img;
   if (!parse_dicom_cached(path, &img)) return 1;
   if (!img.ok) return 2;
   if (static_cast<int>(img.pixels.size()) > capacity) return 3;
   std::memcpy(out, img.pixels.data(), img.pixels.size() * 2);
   return 0;
+} catch (...) {
+  return 9;
 }
 
 // Decode a raw JPEG-lossless (SOF3) frame into a caller buffer of
 // rows*cols uint16. Returns 0 on success.
 int cadx_decode_jpeg_lossless(const uint8_t* data, long long len,
-                              uint16_t* out_buf, int rows, int cols) {
+                              uint16_t* out_buf, int rows, int cols) try {
   std::vector<uint16_t> px;
   if (!jpeg_lossless_decode(data, static_cast<size_t>(len), rows, cols, &px))
     return 1;
   if (px.size() != static_cast<size_t>(rows) * cols) return 2;
   std::memcpy(out_buf, px.data(), px.size() * 2);
   return 0;
+} catch (...) {
+  // bad_alloc (hostile dims) must not unwind through the C ABI
+  return 9;
 }
 
 // Decode a JPEG-LS frame into rows*cols uint16. Returns 0 on success.
 int cadx_decode_jls(const uint8_t* data, long long len, uint16_t* out_buf,
-                    int rows, int cols) {
+                    int rows, int cols) try {
   std::vector<uint16_t> px;
   if (!jls_decode(data, static_cast<size_t>(len), rows, cols, &px)) return 1;
   if (px.size() != static_cast<size_t>(rows) * cols) return 2;
   std::memcpy(out_buf, px.data(), px.size() * 2);
   return 0;
+} catch (...) {
+  return 9;
 }
 
 // Decode a DICOM RLE frame into rows*cols uint16. Returns 0 on success.
 int cadx_decode_rle(const uint8_t* data, long long len, uint16_t* out_buf,
-                    int rows, int cols, int bits) {
+                    int rows, int cols, int bits) try {
   std::vector<uint16_t> px;
   if (!rle_decode(data, static_cast<size_t>(len), rows, cols, bits, &px))
     return 1;
   std::memcpy(out_buf, px.data(), px.size() * 2);
   return 0;
+} catch (...) {
+  return 9;
 }
 
 // --- prefetching batch loader ----------------------------------------------
@@ -1335,7 +1346,7 @@ int cadx_j2k_decode_block(const uint8_t* blob, long long blob_len,
                           const int32_t* seg_passes,
                           const int32_t* seg_raw, int n_segs, int w, int h,
                           int bp_start, int kind, int cbstyle,
-                          int64_t* out) {
+                          int64_t* out) try {
   if (w <= 0 || h <= 0 || bp_start < 0 || bp_start > 62) return 1;
   int n_passes = 0;
   for (int i = 0; i < n_segs; ++i) n_passes += seg_passes[i];
@@ -1409,6 +1420,9 @@ int cadx_j2k_decode_block(const uint8_t* blob, long long blob_len,
           bd.sgnneg[(y + 1) * p + x + 1] ? -m : m;
     }
   return 0;
+} catch (...) {
+  // bad_alloc from hostile code-block dims must not unwind the C ABI
+  return 9;
 }
 
 int cadx_loader_next(void* handle, float* data_out, int32_t* labels_out,

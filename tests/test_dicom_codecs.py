@@ -503,3 +503,44 @@ def test_mutated_compressed_files_raise_dicomerror_only(tmp_path, mammo16):
             _ = dicom.dcmread(blob).pixel_array
         except dicom.DicomError:
             pass  # the one allowed failure type
+
+
+def test_hostile_compressed_geometry_fails_fast(tmp_path, mammo16):
+    """Forged u16 Rows/Columns on a compressed file (4.3G px from a
+    few-KB payload) must raise DicomError at the header check — before
+    any decoder allocates output planes (native or Python)."""
+    p = str(tmp_path / "rle.dcm")
+    dicom.dcmwrite_minimal(p, mammo16, transfer_syntax=dicom.TS_RLE)
+    blob = bytearray(open(p, "rb").read())
+    # Rows (0028,0010) / Columns (0028,0011), explicit-LE US: value at +8
+    for elem in (b"\x28\x00\x10\x00US", b"\x28\x00\x11\x00US"):
+        at = blob.index(elem)
+        blob[at + 8:at + 10] = b"\xff\xff"
+    p2 = str(tmp_path / "huge.dcm")
+    open(p2, "wb").write(bytes(blob))
+    ds = dicom.dcmread(p2)
+    import time
+    t0 = time.time()
+    with pytest.raises(dicom.DicomError, match="implausible"):
+        ds.pixel_array
+    assert time.time() - t0 < 5.0
+
+
+def test_expect_hw_fails_before_scan(mammo16):
+    """The pure-Python decoders reject a container-dims mismatch at the
+    SOF header, not after minutes of per-sample decoding."""
+    from cadx_tpu.data.jls import JlsError, jls_encode, jls_decode
+    from cadx_tpu.data.jpg import JpegError, jpeg_lossy_decode
+
+    small = (mammo16[:16, :16] >> 8).astype(np.uint8)
+    enc = jls_encode(small)
+    with pytest.raises(JlsError, match="expected"):
+        jls_decode(enc, expect_hw=(8, 8))
+    enc2 = codecs.jpeg_lossless_encode(small)
+    with pytest.raises(codecs.CodecError, match="expected"):
+        codecs.jpeg_lossless_decode(enc2, expect_hw=(8, 8))
+    cv2 = pytest.importorskip("cv2")
+    ok, jbuf = cv2.imencode(".jpg", small)
+    assert ok
+    with pytest.raises(JpegError, match="expected"):
+        jpeg_lossy_decode(bytes(jbuf), expect_hw=(8, 8))
