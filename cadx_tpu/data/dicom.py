@@ -577,7 +577,14 @@ def dcmwrite_minimal(path: str, pixel_array: np.ndarray,
                 if not ok:
                     raise DicomError("cv2 JPEG encode failed")
                 enc.append(bytes(buf))
-        else:
+        elif transfer_syntax == TS_JPEG_EXTENDED:
+            # no 12-bit SOF1 encoder here (cv2/libjpeg are 8-bit builds);
+            # writing SOF3 lossless frames under a .51 UID would produce
+            # a self-inconsistent file the matching reader rejects
+            raise DicomError(
+                "JPEG extended (.51) encoding unsupported — tests build "
+                "12-bit SOF1 streams by hand (tests/test_jpg.py)")
+        else:  # the two JPEG-lossless syntaxes (.57/.70)
             enc = [codecs.jpeg_lossless_encode(f, precision=bits)
                    for f in frames]
         # multi-frame gets a Basic Offset Table so readers can map

@@ -17,9 +17,11 @@ CHW features) and per-class Grad-CAM overlays.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 import os
+import threading
 
 import numpy as np
 
@@ -170,6 +172,12 @@ class InferenceEngine:
         # exactly one device dispatch + one host fetch per request (tested)
         self.dispatch_count = 0
         self.fetch_count = 0
+        # the engine is used from concurrent threads (ThreadingHTTPServer
+        # handlers, the micro-batcher worker): the cache's compound
+        # lookup+move/evict sequences need a lock even under the GIL
+        self._device_feats_lru: collections.OrderedDict = \
+            collections.OrderedDict()
+        self._feats_lock = threading.Lock()
         k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
         if encoder_pth and os.path.exists(encoder_pth):
             from cadx_tpu.models import resnet as _resnet
@@ -245,23 +253,26 @@ class InferenceEngine:
     _FEATS_CACHE_SLOTS = 4
 
     def _feats_cache_put(self, token, feats) -> None:
-        import collections
-
-        if not hasattr(self, "_device_feats_lru"):
-            self._device_feats_lru = collections.OrderedDict()
-        lru = self._device_feats_lru
-        lru.pop(token, None)
-        lru[token] = feats
-        while len(lru) > self._FEATS_CACHE_SLOTS:
-            lru.popitem(last=False)
+        with self._feats_lock:
+            lru = self._device_feats_lru
+            lru.pop(token, None)
+            lru[token] = feats
+            while len(lru) > self._FEATS_CACHE_SLOTS:
+                lru.popitem(last=False)
 
     def finalize_feature_token(self, provisional, final) -> None:
         """Rebind the cached features from a provisional token (known
         before the artifact write) to the final content token (e.g.
         (path, mtime), known only after). No-op on mismatch."""
-        lru = getattr(self, "_device_feats_lru", None)
-        if lru is not None and provisional in lru:
-            self._feats_cache_put(final, lru.pop(provisional))
+        with self._feats_lock:
+            lru = self._device_feats_lru
+            if provisional not in lru:
+                return
+            feats = lru.pop(provisional)
+            lru.pop(final, None)
+            lru[final] = feats
+            while len(lru) > self._FEATS_CACHE_SLOTS:
+                lru.popitem(last=False)
 
     def _cached_device_features(self, features, cache_token):
         """The device copy of `features` if it is the array produced
@@ -269,11 +280,14 @@ class InferenceEngine:
         derive it from content identity (path + mtime), so a rewritten
         artifact misses the cache and re-uploads. A hit refreshes LRU
         recency."""
-        lru = getattr(self, "_device_feats_lru", None)
-        if cache_token is None or lru is None or cache_token not in lru:
+        if cache_token is None:
             return None
-        dev = lru[cache_token]
-        lru.move_to_end(cache_token)
+        with self._feats_lock:
+            lru = self._device_feats_lru
+            if cache_token not in lru:
+                return None
+            dev = lru[cache_token]
+            lru.move_to_end(cache_token)
         return dev if tuple(dev.shape) == tuple(np.shape(features)) else None
 
     @functools.cached_property

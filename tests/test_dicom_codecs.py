@@ -544,3 +544,12 @@ def test_expect_hw_fails_before_scan(mammo16):
     assert ok
     with pytest.raises(JpegError, match="expected"):
         jpeg_lossy_decode(bytes(jbuf), expect_hw=(8, 8))
+
+
+def test_dcmwrite_jpeg_extended_raises(tmp_path, mammo16):
+    """No silent self-inconsistent files: asking the writer for .51
+    (12-bit SOF1, no encoder here) must fail loudly instead of writing
+    lossless SOF3 frames under the extended-JPEG UID."""
+    with pytest.raises(dicom.DicomError, match="extended"):
+        dicom.dcmwrite_minimal(str(tmp_path / "x.dcm"), mammo16,
+                               transfer_syntax=dicom.TS_JPEG_EXTENDED)

@@ -649,3 +649,37 @@ def test_upload_waits_for_inflight_artifact_jobs(tmp_path):
     # the old job ran to completion BEFORE the clear, so its marker was
     # removed with the rest of the stale artifacts
     assert not os.path.exists(marker)
+
+
+def test_feature_cache_thread_safety():
+    """put/get/finalize from concurrent threads (ThreadingHTTPServer
+    handlers + the batcher worker) must never corrupt the LRU or raise
+    (pre-fix: lookup-then-move_to_end raced with eviction -> KeyError)."""
+    import threading
+
+    eng = _small_engine()
+    errors = []
+
+    def worker(seed):
+        rng = np.random.default_rng(seed)
+        arr = np.zeros((2, 2), np.float32)
+        try:
+            for i in range(300):
+                tok = ("t", int(rng.integers(6)))
+                op = int(rng.integers(3))
+                if op == 0:
+                    eng._feats_cache_put(tok, arr)
+                elif op == 1:
+                    eng._cached_device_features(arr, tok)
+                else:
+                    eng.finalize_feature_token(tok, ("f", tok[1]))
+        except Exception as e:  # noqa: BLE001 — the assertion target
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(eng._device_feats_lru) <= eng._FEATS_CACHE_SLOTS
