@@ -263,12 +263,15 @@ class _MQEncoder:
                 self.ct = 8
 
     def _renorm(self):
+        # canonical T.88 order (byteout when CT hits 0 AFTER the shift):
+        # deferring the byteout breaks FLUSH's <<CT alignment when a
+        # renorm ends exactly at CT == 0
         while True:
-            if self.ct == 0:
-                self._byteout()
             self.a = (self.a << 1) & 0xFFFF
             self.c <<= 1
             self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
             if self.a & 0x8000:
                 break
 
@@ -298,10 +301,12 @@ class _MQEncoder:
             self._renorm()
 
     def flush(self) -> bytes:
-        tempc = self.c + self.a - 1
-        self.c = tempc & 0xFFFF0000
-        if self.c < tempc:
-            self.c += 0x8000
+        # SETBITS, OpenJPEG form (the module decoder is the same
+        # software variant): saturate the low bits inside [C, C+A)
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
         self.c <<= self.ct
         self._byteout()
         self.c <<= self.ct
@@ -396,3 +401,89 @@ def test_two_layer_first_inclusion(layer):
     expect = np.full((8, 8), 128)
     expect[0, 0] = 129
     np.testing.assert_array_equal(out, expect)
+
+
+def _split_passes_stream() -> bytes:
+    """2-layer codestream where the block is included at layer 0 with 1
+    pass (cleanup @ plane 1) and layer 1 carries 3 more passes (SPP/MRP/
+    CUP @ plane 0) of the SAME MQ codeword — the bytes split mid-
+    codeword across the two packets (B.10.7: no termination between
+    passes, so tier-1 must concatenate the per-packet chunks)."""
+    import struct as _s
+
+    from cadx_tpu.data.j2k import _CTX_RL, _CTX_UNI, _MQDecoder
+
+    # one coefficient at (0,0), magnitude 2 (significant at plane 1,
+    # refinement bit 0 at plane 0), positive
+    decisions = (
+        # pass 0: cleanup @ bp 1 (same schedule as _two_layer_stream)
+        [(1, _CTX_RL), (0, _CTX_UNI), (0, _CTX_UNI), (0, 9),
+         (0, 3), (0, 0), (0, 0), (0, 5), (0, 1), (0, 0), (0, 0)]
+        + [(0, _CTX_RL)] * 6 + [(0, _CTX_RL)] * 8
+        # pass 1: SPP @ bp 0 — the three nonzero-context neighbours
+        + [(0, 3), (0, 5), (0, 1)]
+        # pass 2: MRP @ bp 0 — first refinement of (0,0), ctx 14
+        + [(0, 14)]
+        # pass 3: CUP @ bp 0 — cols 0/1 rows 2-3 per-sample (ctx 0),
+        # cols 2-7 + stripe 1 zero runs
+        + [(0, 0)] * 4 + [(0, _CTX_RL)] * 6 + [(0, _CTX_RL)] * 8)
+    enc = _MQEncoder()
+    for d, cx in decisions:
+        enc.encode(d, cx)
+    body = enc.flush()
+    dec = _MQDecoder(body)
+    assert [dec.decode(cx) for _, cx in decisions] == [d for d, _ in decisions]
+    l0 = min(2, len(body))          # split the codeword mid-stream
+    l1 = len(body) - l0
+    assert l0 <= 7 and l1 <= 15     # 3-bit / 4-bit length fields
+
+    soc = b"\xff\x4f"
+    siz = b"\xff\x51" + _s.pack(">HHIIIIIIIIH", 41, 0, 8, 8, 0, 0, 8, 8,
+                                0, 0, 1) + bytes([7, 1, 1])
+    cod = b"\xff\x52" + _s.pack(">HBBHB", 12, 0, 0, 2, 0) + bytes(
+        [0, 4, 4, 0, 1])
+    qcd = b"\xff\x5c" + _s.pack(">H", 4) + bytes([0x40, 8 << 3])
+
+    # layer 0: included (tag value 0), zbp 7 -> bp_start = 1, 1 pass
+    bits0 = ([1, 1] + [0] * 7 + [1] + [0] + [0]
+             + [(l0 >> (2 - k)) & 1 for k in range(3)])
+    pkt0 = _bitpack(bits0) + body[:l0]
+    # layer 1: included-again bit, 3 passes ("11"+2-bit 0), no lblock bump
+    bits1 = ([1, 1] + [1, 1, 0, 0] + [0]
+             + [(l1 >> (3 - k)) & 1 for k in range(4)])
+    pkt1 = _bitpack(bits1) + body[l0:]
+    packets = pkt0 + pkt1
+    psot = 12 + 2 + len(packets)
+    sot = b"\xff\x90" + _s.pack(">HHIBB", 10, 0, psot, 0, 1)
+    return soc + siz + cod + qcd + sot + b"\xff\x93" + packets + b"\xff\xd9"
+
+
+def test_two_layer_pass_continuation():
+    """Passes split across quality layers concatenate into one MQ
+    codeword (no termination between passes): layer 0 carries the first
+    2 bytes, layer 1 the rest plus 3 more passes. Exercises the
+    cb.included continuation bit, npass=3 coding, and tier-1 chunk
+    concatenation across packets."""
+    from cadx_tpu.data.j2k import j2k_decode
+
+    out = np.asarray(j2k_decode(_split_passes_stream()))
+    expect = np.full((8, 8), 128)
+    expect[0, 0] = 130   # +2 coefficient over the level shift
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_mq_encoder_roundtrip_property(rng):
+    """The test-local MQ encoder round-trips random decision/context
+    sequences through the module's MQ decoder (500 cases): the fixture
+    builders above depend on this equivalence."""
+    from cadx_tpu.data.j2k import _MQDecoder, _N_CTX
+
+    for _ in range(500):
+        n = int(rng.integers(1, 120))
+        seq = [(int(rng.integers(2)), int(rng.integers(_N_CTX)))
+               for _ in range(n)]
+        enc = _MQEncoder()
+        for d, cx in seq:
+            enc.encode(d, cx)
+        dec = _MQDecoder(enc.flush())
+        assert [dec.decode(cx) for _, cx in seq] == [d for d, _ in seq]
