@@ -463,8 +463,12 @@ def jpeg_lossless_decode(data: bytes,
         seglen = struct.unpack_from(">H", data, off)[0]
         seg = data[off + 2: off + seglen]
         if marker == 0xDD:                    # DRI
+            if len(seg) < 2:
+                raise CodecError("truncated DRI segment")
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xC3:                  # SOF3
+            if len(seg) < 6:
+                raise CodecError("truncated SOF3 segment")
             precision, rows, cols, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if ncomp != 1:
                 raise CodecError(f"only 1-component lossless supported, got {ncomp}")
@@ -476,11 +480,17 @@ def jpeg_lossless_decode(data: bytes,
             while p < len(seg):
                 tc_th = seg[p]
                 bits = list(seg[p + 1: p + 17])
+                if len(bits) < 16:
+                    raise CodecError("truncated DHT segment")
                 nv = sum(bits)
                 vals = list(seg[p + 17: p + 17 + nv])
+                if len(vals) < nv:
+                    raise CodecError("truncated DHT segment")
                 huff_tables[tc_th & 0x0F] = _build_huffman(bits, vals)
                 p += 17 + nv
         elif marker == 0xDA:                  # SOS
+            if len(seg) < 6:
+                raise CodecError("truncated SOS segment")
             ns = seg[0]
             if ns != 1:
                 raise CodecError("multi-component scans unsupported")

@@ -169,11 +169,15 @@ class DicomFile:
         from cadx_tpu.data import codecs
 
         n_frames = max(self.get_is(TAG_NUMBER_OF_FRAMES, 1), 1)
-        if rows * cols > 1 << 28 or n_frames > 4096:
+        if (rows * cols > 1 << 28 or n_frames > 4096
+                or rows * cols * n_frames > 1 << 31):
             # compressed payloads expand: a hostile header (Rows/Cols are
             # u16, so up to 4.3G px/frame) would drive multi-GiB output
             # allocations in whichever decoder runs — bound centrally
-            # before any decode work or buffer is created
+            # before any decode work or buffer is created. The TOTAL
+            # bound (2^31 px ≈ 4GB u16) still admits real tomosynthesis
+            # stacks (~130 frames x 2457x1890 ≈ 600M px) while rejecting
+            # the per-frame-max x frame-max product (2^40 px)
             raise DicomError(
                 f"implausible compressed geometry {rows}x{cols}"
                 f"x{n_frames} frames")

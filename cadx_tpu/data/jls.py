@@ -581,10 +581,15 @@ def jls_decode(data: bytes,
             raise JlsError(f"expected marker, got 0x{data[pos]:02x}")
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1  # optional FF fill bytes before a marker code
+        if pos + 1 >= len(data):
+            raise JlsError("truncated marker stream")
         marker = data[pos + 1]
         pos += 2
         if marker == _EOI:
             raise JlsError("EOI before scan data")
+        if pos + 2 > len(data):
+            # FF-fill skipping can outrun the pos+4 loop-top check
+            raise JlsError("truncated marker stream")
         (seg_len,) = struct.unpack_from(">H", data, pos)
         if pos + seg_len > len(data):
             raise JlsError("marker segment overruns stream")

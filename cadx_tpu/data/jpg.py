@@ -168,6 +168,9 @@ def jpeg_lossy_decode(data: bytes,
             raise JpegError("EOI before scan data")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # TEM / stray RST: no segment body
+        if pos + 2 > len(data):
+            # FF-fill skipping can outrun the pos+4 loop-top check
+            raise JpegError("truncated marker stream")
         (seg_len,) = struct.unpack_from(">H", data, pos)
         if seg_len < 2 or pos + seg_len > len(data):
             raise JpegError("marker segment overruns stream")

@@ -252,13 +252,18 @@ class InferenceEngine:
     # ~64MB HBM ceiling — negligible on a 16GB chip.
     _FEATS_CACHE_SLOTS = 4
 
+    def _put_locked(self, token, feats) -> None:
+        """Insert under self._feats_lock (held by the caller): one copy
+        of the insert+evict policy shared by put and finalize."""
+        lru = self._device_feats_lru
+        lru.pop(token, None)
+        lru[token] = feats
+        while len(lru) > self._FEATS_CACHE_SLOTS:
+            lru.popitem(last=False)
+
     def _feats_cache_put(self, token, feats) -> None:
         with self._feats_lock:
-            lru = self._device_feats_lru
-            lru.pop(token, None)
-            lru[token] = feats
-            while len(lru) > self._FEATS_CACHE_SLOTS:
-                lru.popitem(last=False)
+            self._put_locked(token, feats)
 
     def finalize_feature_token(self, provisional, final) -> None:
         """Rebind the cached features from a provisional token (known
@@ -268,11 +273,7 @@ class InferenceEngine:
             lru = self._device_feats_lru
             if provisional not in lru:
                 return
-            feats = lru.pop(provisional)
-            lru.pop(final, None)
-            lru[final] = feats
-            while len(lru) > self._FEATS_CACHE_SLOTS:
-                lru.popitem(last=False)
+            self._put_locked(final, lru.pop(provisional))
 
     def _cached_device_features(self, features, cache_token):
         """The device copy of `features` if it is the array produced

@@ -310,6 +310,9 @@ def test_bench_pallas_fallback_retry(monkeypatch, capsys):
     assert out["value"] == 42.0
     assert "Mosaic" in out["pallas_compile_error"]
     assert calls["n"] == 2
+    # main() set the var directly (monkeypatch recorded nothing for an
+    # absent var): drop it so later tests don't run Pallas-disabled
+    os.environ.pop("CADX_DISABLE_PALLAS", None)
 
     # a second failure WITH the fallback already active must re-raise
     # (a logic bug, not a compile problem)

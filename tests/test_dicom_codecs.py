@@ -553,3 +553,27 @@ def test_dcmwrite_jpeg_extended_raises(tmp_path, mammo16):
     with pytest.raises(dicom.DicomError, match="extended"):
         dicom.dcmwrite_minimal(str(tmp_path / "x.dcm"), mammo16,
                                transfer_syntax=dicom.TS_JPEG_EXTENDED)
+
+
+def test_truncated_marker_segments_raise_codec_errors():
+    """Exact regression cases from the round-4 review: trailing FF runs
+    and short DRI/SOF/SOS/DHT bodies must raise the per-codec error in
+    EVERY JPEG-family codec, never raw IndexError/struct.error."""
+    from cadx_tpu.data.jls import JlsError, jls_decode
+    from cadx_tpu.data.jpg import JpegError, jpeg_lossy_decode
+
+    for fn, err, blob in [
+        (jls_decode, JlsError, b"\xff\xd8" + b"\xff" * 6),
+        (jls_decode, JlsError, b"\xff\xd8\xff\xff\xff\xe0"),
+        (jpeg_lossy_decode, JpegError, b"\xff\xd8\xff\xff\xff\xe0"),
+        (codecs.jpeg_lossless_decode, codecs.CodecError,
+         b"\xff\xd8\xff\xdd\x00\x02\xff\xd9"),            # empty DRI
+        (codecs.jpeg_lossless_decode, codecs.CodecError,
+         b"\xff\xd8\xff\xc3\x00\x03\x08\xff\xd9"),        # 1-byte SOF3
+        (codecs.jpeg_lossless_decode, codecs.CodecError,
+         b"\xff\xd8\xff\xda\x00\x02\xff\xd9"),            # empty SOS
+        (codecs.jpeg_lossless_decode, codecs.CodecError,
+         b"\xff\xd8\xff\xc4\x00\x05\x00\x01\x02\xff\xd9"),  # short DHT
+    ]:
+        with pytest.raises(err):
+            fn(blob)
