@@ -549,6 +549,11 @@ def jpeg_lossless_decode(data: bytes,
                     break
                 if length > 16:
                     raise CodecError("invalid huffman code in scan")
+            if sym > 16:
+                # T.81: SSSS is 0..16 — a hostile DHT value would read
+                # up to 255 junk bits per sample (and is UB in the C++
+                # fast path, which rejects it identically)
+                raise CodecError(f"SSSS category {sym} out of range")
             if sym == 0:
                 diffs[i] = 0
             elif sym == 16:

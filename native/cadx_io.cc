@@ -423,6 +423,8 @@ bool jpeg_lossless_decode(const uint8_t* data, size_t n, int expect_rows,
     }
     if (l > 16 || !br.ok) return false;
     int sym = t.vals[t.valptr[l] + (code - t.mincode[l])];
+    if (sym > 16) return false;  // T.81: SSSS is 0..16; a hostile DHT
+                                 // value would shift past int width (UB)
     if (sym == 0) diffs[i] = 0;
     else if (sym == 16) diffs[i] = 32768;
     else {
@@ -581,7 +583,16 @@ static inline int jls_golomb(JlsBitReader* r, int k, int limit, int qbpp) {
     if (++high > limit) { r->ok = false; return 0; }
   }
   if (!r->ok) return 0;
-  if (high < limit - qbpp - 1) return (high << k) | (k ? r->bits(k) : 0);
+  if (high < limit - qbpp - 1) {
+    // hostile LSE presets can drive k past the int width (UBSAN fuzz
+    // finding): a valid stream's k never exceeds qbpp (<= 16) + a few
+    // growth steps — reject first, then compute wide
+    if (k > 26) { r->ok = false; return 0; }
+    long long v = static_cast<long long>(high) << k;
+    if (k) v |= r->bits(k);
+    if (v > (1 << 30)) { r->ok = false; return 0; }
+    return static_cast<int>(v);
+  }
   if (high == limit - qbpp - 1) return r->bits(qbpp) + 1;
   r->ok = false;
   return 0;
