@@ -177,7 +177,9 @@ def main():
                      "perf regression; see CLAUDE.md tunnel-outage note)",
             # context for the reader, NOT measurements from this run:
             "prior_driver_capture_img_s": 2413.4,   # BENCH_r02.json
-            "prior_local_median_img_s": 4890.0,     # r3 steady state, pre-outage
+            # last REAL-CHIP steady median (2026-08-17, commit 92544fe;
+            # full JSON series with provenance in perf_history/)
+            "prior_onchip_median_img_s": 4889.3,
         }))
         return
 
