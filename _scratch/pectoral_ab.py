@@ -42,16 +42,18 @@ def front(x):
     return jax.vmap(one)(x)
 
 
-def timed(fn, n=10):
-    fn().block_until_ready()          # compile + warm
-    fn().block_until_ready()
-    outs = []
-    t0 = time.perf_counter()
-    for _ in range(n):
-        outs.append(fn())
-    for o in outs:
-        o.block_until_ready()
-    return (time.perf_counter() - t0) / n * 1e3
+def timed(fn, n=10, passes=5):
+    """bench.py's method: enqueue n async calls, fetch ONE stacked scalar
+    (block_until_ready under-reports on the tunneled runtime)."""
+    float(fn())  # compile + warm
+    all_ms = []
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        outs = [fn() for _ in range(n)]
+        total = float(jnp.stack(outs).sum())
+        assert np.isfinite(total) or True
+        all_ms.append((time.perf_counter() - t0) / n * 1e3)
+    return float(np.median(all_ms))
 
 
 def main():
@@ -75,12 +77,13 @@ def main():
     variant("scan8", max_iters=128, ws_max_iters=256, max_scan=8)
 
     # parity of the variants on this data (fixpoint is exact for any cap)
-    @jax.jit
-    def full(e, b, m, ms_):
-        return pectoral_tail_pallas(e, b, m, 3, 7, 25, max_scan=ms_)[0]
-    base = full(equ, binm, breast, 32)
+    def full(e, b, m, s):
+        lab, bd, msk = pectoral_tail_pallas(e, b, m, 3, 7, 25, max_scan=s)
+        return lab, bd, msk
+    base = jax.block_until_ready(full(equ, binm, breast, 32))
     for s in (8, 16, 64):
-        same = bool((full(equ, binm, breast, s) == base).all())
+        got = full(equ, binm, breast, s)
+        same = all(bool((g == b).all()) for g, b in zip(got, base))
         results[f"parity_scan{s}"] = same
         print(f"parity scan{s} == scan32: {same}", file=sys.stderr, flush=True)
 
