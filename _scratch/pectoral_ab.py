@@ -51,7 +51,7 @@ def timed(fn, n=10, passes=5):
         t0 = time.perf_counter()
         outs = [fn() for _ in range(n)]
         total = float(jnp.stack(outs).sum())
-        assert np.isfinite(total) or True
+        assert np.isfinite(total)
         all_ms.append((time.perf_counter() - t0) / n * 1e3)
     return float(np.median(all_ms))
 

@@ -94,9 +94,11 @@ def main():
             "upload_ms": round(up_ms, 1),
             "classify_cold_ms": round(cold_ms, 1),
             "classify_hot_ms_p50": round(float(np.median(hots)), 1),
-            "predicted_class": body.get("predicted_class"),
-            "confidence_quirk": body.get("confidence"),
+            "predicted_class": body["classificationData"][0]["predicted_class"],
+            "confidence_quirk": body["classificationData"][0]["confidence"],
         }
+        # the reference's fixed-confidence quirk (app.py:548) must survive
+        assert out[name]["confidence_quirk"] == 76, out[name]
         print(f"{name}: {out[name]}", file=sys.stderr, flush=True)
 
     srv.shutdown()

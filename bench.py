@@ -163,9 +163,46 @@ def _latency_ms(fn, n=50):
             float(np.percentile(lat, 99)))
 
 
+_TRANSIENT_MARKERS = (
+    # transport-layer flakes on the tunneled remote-compile/execute path —
+    # retryable, NOT evidence of a Mosaic lowering bug (r4: one such flake
+    # permanently disabled every Pallas kernel and published 493 img/s
+    # XLA-fallback numbers as the driver capture)
+    "remote_compile", "read body", "response body closed",
+    "timed out", "timeout", "deadline", "unavailable",
+    "connection reset", "connection refused", "broken pipe",
+    "eof", "socket", "temporarily",
+)
+
+
+def _is_transient(e: BaseException) -> bool:
+    msg = repr(e).lower()
+    return any(m in msg for m in _TRANSIENT_MARKERS)
+
+
+def _compile_cache_info() -> dict:
+    """The persistent compilation cache is enabled by importing cadx_tpu
+    (cadx_tpu/__init__.py::_enable_compilation_cache — every >=2s compile,
+    including every remote Mosaic compile, is cached by HLO key; verified
+    cross-process on the axon tunnel 2026-08-19: a warm run recompiles
+    nothing and a transient-flake retry re-pays only the flaked program).
+    Reported in the bench JSON so a driver capture carries the evidence."""
+    import cadx_tpu  # noqa: F401 — import installs the cache config
+
+    d = jax.config.jax_compilation_cache_dir
+    try:
+        import os
+
+        n = len(os.listdir(d)) if d and os.path.isdir(d) else 0
+    except OSError:
+        n = 0
+    return {"dir": d, "entries_at_start": n}
+
+
 def main():
     import os
 
+    cache_info = _compile_cache_info()
     if not _tunnel_preflight():
         print(json.dumps({
             "metric": "images/sec/chip end-to-end (preproc+seg+classify+Grad-CAM) at 256x256",
@@ -183,21 +220,44 @@ def main():
         }))
         return
 
-    try:
-        result = _measure()
-    except Exception as e:  # noqa: BLE001 — resilience: a remote Mosaic
-        # compile failure in any Pallas kernel must still yield a number
-        # (the XLA fallbacks are bit-identical, just slower). A logic bug
-        # would fail the XLA pass too and re-raise there.
-        if os.environ.get("CADX_DISABLE_PALLAS") == "1":
-            raise
-        os.environ["CADX_DISABLE_PALLAS"] = "1"
-        jax.clear_caches()
-        result = _measure()
-        result["pallas_compile_error"] = repr(e)[:400]
-        result["note"] = ("Pallas kernel failed on-device compile; these are "
-                          "XLA-fallback numbers (bit-identical, slower). "
-                          "Bisect via ops/components._use_pallas.")
+    # Retry policy (r5, after the r4 driver capture published XLA-fallback
+    # numbers because ONE transient tunnel read error tripped the one-shot
+    # fallback): transient transport errors get retried with backoff — the
+    # persistent cache means a retry skips every already-compiled program —
+    # and only a persistent/non-transient failure downgrades to the
+    # bit-identical XLA fallbacks, with the error recorded in the JSON.
+    transient_retries, backoff_s = 3, 60
+    result = None
+    last_err = None
+    for attempt in range(1 + transient_retries):
+        try:
+            result = _measure()
+            break
+        except Exception as e:  # noqa: BLE001 — resilience: the driver must
+            # always get a number; a logic bug would fail the XLA pass too
+            # and re-raise there.
+            last_err = e
+            if os.environ.get("CADX_DISABLE_PALLAS") == "1":
+                raise
+            if _is_transient(e) and attempt < transient_retries:
+                print(f"bench: transient error (attempt {attempt + 1}/"
+                      f"{1 + transient_retries}): {e!r}; retrying in "
+                      f"{backoff_s}s", file=sys.stderr)
+                jax.clear_caches()
+                time.sleep(backoff_s)
+                continue
+            os.environ["CADX_DISABLE_PALLAS"] = "1"
+            jax.clear_caches()
+            result = _measure()
+            result["pallas_compile_error"] = repr(e)[:400]
+            result["pallas_error_transient"] = _is_transient(e)
+            result["note"] = ("Pallas kernel failed on-device compile after "
+                              "retries; these are XLA-fallback numbers "
+                              "(bit-identical, slower). Bisect via "
+                              "ops/components._use_pallas.")
+            break
+    assert result is not None, last_err
+    result["compile_cache"] = cache_info
     print(json.dumps(result))
 
 
