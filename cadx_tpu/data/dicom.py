@@ -50,22 +50,22 @@ TS_JPEG_LS = "1.2.840.10008.1.2.4.80"       # lossless (T.87)
 TS_JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"  # near-lossless (same decoder)
 TS_JPEG_BASELINE = "1.2.840.10008.1.2.4.50"  # lossy 8-bit (T.81 SOF0)
 TS_JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"  # lossy 12-bit (T.81 SOF1)
+TS_HTJ2K_LOSSLESS = "1.2.840.10008.1.2.4.201"      # T.814 HT blocks
+TS_HTJ2K_LOSSLESS_RPCL = "1.2.840.10008.1.2.4.202"
+TS_HTJ2K = "1.2.840.10008.1.2.4.203"               # lossy-allowed
 
 _UNCOMPRESSED_TS = {TS_IMPLICIT_LE, TS_EXPLICIT_LE, TS_DEFLATED_LE,
                     TS_EXPLICIT_BE}
 _ENCAPSULATED_TS = {TS_RLE, TS_JPEG_LOSSLESS_P14, TS_JPEG_LOSSLESS_SV1,
                     TS_J2K_LOSSLESS, TS_J2K, TS_JPEG_LS, TS_JPEG_LS_NEAR,
-                    TS_JPEG_BASELINE, TS_JPEG_EXTENDED}
+                    TS_JPEG_BASELINE, TS_JPEG_EXTENDED,
+                    TS_HTJ2K_LOSSLESS, TS_HTJ2K_LOSSLESS_RPCL, TS_HTJ2K}
 _SUPPORTED_TS = _UNCOMPRESSED_TS | _ENCAPSULATED_TS
 
 # recognized-but-unsupported syntaxes get a precise error message (the
 # generic one suggests the file is compressed, which these ARE — name
 # the actual gap instead)
-_KNOWN_UNSUPPORTED_TS = {
-    "1.2.840.10008.1.2.4.201": "HTJ2K lossless",
-    "1.2.840.10008.1.2.4.202": "HTJ2K with RPCL",
-    "1.2.840.10008.1.2.4.203": "HTJ2K",
-}
+_KNOWN_UNSUPPORTED_TS: dict = {}
 
 TAG_TRANSFER_SYNTAX = (0x0002, 0x0010)
 TAG_PATIENT_ID = (0x0010, 0x0020)
@@ -187,7 +187,12 @@ class DicomFile:
             for frame in frames:
                 if self.transfer_syntax == TS_RLE:
                     decoded.append(_rle_pixels(frame, rows, cols, bits))
-                elif self.transfer_syntax in (TS_J2K_LOSSLESS, TS_J2K):
+                elif self.transfer_syntax in (TS_J2K_LOSSLESS, TS_J2K,
+                                              TS_HTJ2K_LOSSLESS,
+                                              TS_HTJ2K_LOSSLESS_RPCL,
+                                              TS_HTJ2K):
+                    # HTJ2K (.201/.202/.203) shares the Part-1 tier-2
+                    # machinery; the HT block coder lives in data/htj2k.py
                     decoded.append(_j2k_pixels(frame, rows, cols))
                 elif self.transfer_syntax in (TS_JPEG_LS, TS_JPEG_LS_NEAR):
                     decoded.append(_jls_pixels(frame, rows, cols))
@@ -558,6 +563,13 @@ def dcmwrite_minimal(path: str, pixel_array: np.ndarray,
                 if not ok:
                     raise DicomError("cv2 J2K encode failed")
                 enc.append(_unwrap_jp2(bytes(buf)))  # raw codestream
+        elif transfer_syntax in (TS_HTJ2K_LOSSLESS, TS_HTJ2K_LOSSLESS_RPCL,
+                                 TS_HTJ2K):
+            # self-written lossless HT encoder (data/htj2k.py) —
+            # independently verified: OpenJPEG decodes it bit-exactly
+            from cadx_tpu.data.htj2k import ht_encode_lossless
+
+            enc = [ht_encode_lossless(f, depth=bits) for f in frames]
         elif transfer_syntax in (TS_JPEG_LS, TS_JPEG_LS_NEAR):
             from cadx_tpu.data import jls
 

@@ -18,6 +18,8 @@ Scope (everything DICOM J2K in the wild needs):
 - multi-component images with optional RCT/ICT, per-component COC/QCC
 - EBCOT tier-1 options: selective arithmetic bypass, reset, termall,
   causal (vertically stripe-causal), segmentation symbols
+- High-Throughput (T.814) code-blocks (cbstyle 0x40): tier-2 here,
+  block coder in data/htj2k.py (the HTJ2K DICOM syntaxes .201-.203)
 
 Not implemented (raise CodecError): Part-2 extensions (Rsiz caps),
 region-of-interest shift (RGN marker).
@@ -523,6 +525,37 @@ def _decode_block(cb: _CodeBlock, kind: str, mb: int, cbstyle: int,
     bp_start = mb - 1 - cb.zbp
     if bp_start < 0:
         return coefs
+
+    if cbstyle & 0x40:
+        # High-Throughput (T.814) code-block: segment 0 is the HT
+        # cleanup segment, segment 1 (when present) carries SigProp
+        # followed by MagRef. Tier-2 split the chunks on the same
+        # boundary (see _segment_lengths), so chunks concatenate into
+        # the two HT segments here.
+        from cadx_tpu.data.htj2k import ht_decode_block
+        if n_passes > 3:
+            raise CodecError(f"J2K/HT: {n_passes} passes (max 3)")
+        blob_ht = b"".join(c for c, _ in cb.data_parts)
+        segs_ht = []
+        pos_ht = 0
+        passes_left = [1, n_passes - 1]
+        cur = b""
+        si = 0
+        for b_len, b_pass in cb.nb_seg_passes:
+            cur += blob_ht[pos_ht:pos_ht + b_len]
+            pos_ht += b_len
+            passes_left[si] -= b_pass
+            if passes_left[si] <= 0:
+                segs_ht.append(cur)
+                cur = b""
+                si += 1
+                if si >= 2:
+                    break
+        if cur:
+            segs_ht.append(cur)
+        co = ht_decode_block(segs_ht, w, h, mb, cb.zbp, n_passes)
+        return co.astype(np.int32)
+
     if n_passes > 1 + 3 * bp_start:
         # cleanup at bp_start + (SPP,MRP,CUP) per remaining plane is the
         # most a valid stream can carry; more means a corrupt header and
@@ -1503,6 +1536,24 @@ class _Decoder:
         segment's byte length (B.10.7)."""
         bypass = bool(cbstyle & 1)
         termall = bool(cbstyle & 4)
+
+        if cbstyle & 0x40:
+            # HT (T.814) block: the cleanup pass is its own segment;
+            # SigProp+MagRef share the second segment (its length word
+            # uses lblock + floor(log2(n_passes_in_segment)) bits, same
+            # B.10.7 rule). Pinned against OpenJPEG in tests/test_htj2k.
+            start = cb.passes_total
+            segs = []
+            k = start
+            while k < start + npass:
+                if k == 0:
+                    n_in_seg = 1
+                else:
+                    n_in_seg = start + npass - k
+                nbits = cb.lblock + int(math.floor(math.log2(n_in_seg)))
+                segs.append((n_in_seg, rdr.bits(nbits)))
+                k += n_in_seg
+            return segs
 
         def pass_type(k: int) -> int:
             # absolute pass index k: 0 = cleanup, then SPP/MRP/CUP triples
