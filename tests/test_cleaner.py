@@ -196,3 +196,34 @@ def test_median_blur5_matches_cv2(rng):
     img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
     np.testing.assert_array_equal(
         np.asarray(median_blur(jnp.asarray(img), 5)), cv2.medianBlur(img, 5))
+
+
+def test_pectoral_corpus_floor(ref_preprocessor):
+    """Corpus-level pectoral parity (round-5 verdict #6): the watershed
+    tie-break divergence is bounded across parametrized anatomy, not
+    just the single fixture. tools/pectoral_corpus.py measured 80
+    synthetic variants (perf_history/pectoral_corpus.json): IoU min
+    0.9308, p05 0.9434, median 0.9765, none below 0.90. This test
+    re-runs the measured-WORST seeds plus a median one and pins the
+    floor — a regression in the flood/ridge code shows up here first."""
+    from synthetic_mammo import make_mammo
+
+    # worst seeds from the 80-variant sweep + one median-ish seed
+    cases = {28: 0.9308, 65: 0.9375, 47: 0.9393, 5: 0.9486, 3: 0.97}
+    for seed, floor in cases.items():
+        img = make_mammo(seed)
+        sup, mask = ref_preprocessor.suppress_artifacts(
+            img, global_threshold=0.05, fill_holes=True,
+            smooth_boundary=True)
+        seg, _ = ref_preprocessor.segment_breast(
+            sup, low_int_threshold=0.05, crop=False)
+        ref_breast, _ = ref_preprocessor.remove_pectoral(
+            seg, mask, high_int_threshold=0.8, morph_kn_size=3,
+            n_morph_op=7, sm_kn_size=25)
+        assert (ref_breast > 0).sum() > 500, f"oracle degenerate seed {seed}"
+        res = cleaner.remove_pectoral(jnp.asarray(seg), jnp.asarray(mask),
+                                      0.8, 3, 7, 25)
+        iou = _iou(res.breast_only_mask, ref_breast > 0)
+        # measured value minus a hair of slack for cross-platform float
+        # differences in the equalize/threshold tables
+        assert iou > floor - 0.005, (seed, iou)
