@@ -226,17 +226,42 @@ def test_html_rendering_and_static(server):
         with urllib.request.urlopen(req) as r:
             return r.status, r.read().decode(), r.headers.get("Content-Type", "")
 
-    for path, marker in [("/", "Basic pipeline"), ("/home", "Upload mammogram"),
-                         ("/diagnosis", "Diagnosis cases"),
-                         ("/view_segmentation", "Segmentation masks"),
-                         ("/classify", "Classification"),
+    for path, marker in [("/", "Basic Pipeline"), ("/home", "Add New Case"),
+                         ("/diagnosis", "Case History"),
+                         ("/view_segmentation", "Segmentation Masks"),
+                         ("/classify", "Classification Results"),
                          ("/roi", "Regions of Interest"),
-                         ("/bulk-select-parameters", "Bulk images"),
-                         ("/sample", "Sample")]:
+                         ("/bulk-select-parameters", "Bulk Diagnosis"),
+                         ("/sample", "Example Diagnosis")]:
         status, html_body, ctype = get_html(path)
         assert status == 200 and "text/html" in ctype, path
         assert marker in html_body, path
-        assert "<html>" in html_body
+        assert "<html" in html_body
+        # reference-fidelity chrome on every page (base.html /
+        # style.css): fixed black header with the red product title,
+        # red-accent nav, dark body, footer
+        assert "Visual-Based Computer-Aided Breast Cancer Diagnosis" in html_body
+        assert "#121212" in html_body and "border-bottom:2px solid red" in html_body
+        assert "CAD Diagnostic System" in html_body
+
+    # page-specific reference structure (DefaultLanding pipeline cards
+    # with module sections; History.html column filter; AddCase form
+    # fields; Classification red-glow results panel)
+    status, landing_html, _ = get_html("/")
+    for frag in ("pipeline-card", "comparison-container", "basic-content",
+                 "training_summary_basic.json", "loadPipelineData"):
+        assert frag in landing_html, frag
+    status, diag_html, _ = get_html("/diagnosis")
+    for frag in ("filter-field", "filter-input", "case-table",
+                 "Add New Case"):
+        assert frag in diag_html, frag
+    status, home_html, _ = get_html("/home")
+    for frag in ("body_part1", "modality1", "upload-btn", "Save Image",
+                 "bulk_images_zip"):
+        assert frag in home_html, frag
+    status, cls_html, _ = get_html("/classify")
+    for frag in ("results", "Classification Details", "Predicted Class"):
+        assert frag in cls_html, frag
 
     # the ROI viewer carries the reference's interactive controls
     # (RegionOfInterest.html:92-147): class select + probability readout,
