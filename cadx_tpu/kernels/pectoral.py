@@ -71,10 +71,13 @@ def _pectoral_kernel(equ_ref, bin_ref, breast_ref, labels_ref, boundary_ref,
     markers = jnp.where(breast_ref[0] == 0, 64, markers)
 
     # geodesic watershed (shared scan + relaxation machinery — ONE copy
-    # of the while-loop/convergence/boundary logic, geodesic_scan.py)
+    # of the while-loop/convergence/boundary logic, geodesic_scan.py).
+    # Packed (dist,label) int32 form: this kernel only compiles at
+    # <= 256^2 (planes gate), well inside use_packed's budget.
     img = equ_ref[0].astype(jnp.float32)
-    labels = G.relax_to_fixpoint(_shift, img, markers, ws_max_iters,
-                                 max_scan)
+    labels = G.relax_to_fixpoint_packed(_shift, img, markers, ws_max_iters,
+                                        max_scan,
+                                        label_values=(255, 128, 64))
     boundary = G.label_boundary(_shift, labels)
 
     # ridge-masked breast label -> opened breast-only mask

@@ -49,24 +49,40 @@ def _shift(x, dy: int, dx: int, fill):
 
 
 def _watershed_kernel(img_ref, markers_ref, labels_ref, boundary_ref, *,
-                      max_iters: int, max_scan: int):
+                      max_iters: int, max_scan: int, label_values: tuple):
     img = img_ref[0].astype(jnp.float32)
-    labels = G.relax_to_fixpoint(_shift, img, markers_ref[0],
-                                 max_iters, max_scan)
+    if label_values:
+        labels = G.relax_to_fixpoint_packed(_shift, img, markers_ref[0],
+                                            max_iters, max_scan,
+                                            label_values=label_values)
+    else:
+        labels = G.relax_to_fixpoint(_shift, img, markers_ref[0],
+                                     max_iters, max_scan)
     labels_ref[0] = labels
     boundary_ref[0] = G.label_boundary(_shift, labels)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "max_scan", "interpret"))
+@functools.partial(jax.jit, static_argnames=("max_iters", "max_scan",
+                                             "marker_label_values",
+                                             "interpret"))
 def marker_watershed_pallas(images: jax.Array, markers: jax.Array,
                             max_iters: int = 256, max_scan: int = 256,
+                            marker_label_values: tuple = (),
                             interpret: bool = False):
-    """Batched watershed: (B,H,W) image + int markers -> (labels, boundary)."""
+    """Batched watershed: (B,H,W) image + int markers -> (labels, boundary).
+
+    marker_label_values: same packed-relaxation gate as
+    ops.watershed.marker_watershed (the two backends must dispatch the
+    same variant to stay bit-identical)."""
     b, h, w = images.shape
+    packed = (marker_label_values
+              if (marker_label_values and
+                  G.use_packed((h, w), len(marker_label_values)))
+              else ())
     spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     labels, boundary = pl.pallas_call(
         functools.partial(_watershed_kernel, max_iters=max_iters,
-                          max_scan=max_scan),
+                          max_scan=max_scan, label_values=packed),
         out_shape=(jax.ShapeDtypeStruct((b, h, w), jnp.int32),
                    jax.ShapeDtypeStruct((b, h, w), jnp.int32)),
         grid=(b,),

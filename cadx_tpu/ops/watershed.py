@@ -45,14 +45,23 @@ def _shift(x: jax.Array, dy: int, dx: int, fill) -> jax.Array:
     return xp[max(-dy, 0) : max(-dy, 0) + h, max(-dx, 0) : max(-dx, 0) + w]
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "max_scan"))
+@functools.partial(jax.jit, static_argnames=("max_iters", "max_scan",
+                                              "marker_label_values"))
 def marker_watershed(image: jax.Array, markers: jax.Array,
-                     max_iters: int = 256, max_scan: int = 256):
+                     max_iters: int = 256, max_scan: int = 256,
+                     marker_label_values: tuple = ()):
     """Flood `markers` (>0 labels; 0 = unlabeled) over `image`.
 
     Returns (labels, boundary) where boundary marks pixels adjacent to a
     different label (cv2.watershed's -1 ridge pixels). Runs scan sweeps
     to the exact geodesic fixpoint (bounded by `max_iters` sweeps).
+
+    marker_label_values: when the caller statically knows the distinct
+    marker values AND the image is integer-valued (the equalize stage's
+    output is), pass them (e.g. (255, 128, 64)): up to 3 labels on
+    images <= 512 dispatch to the packed int32 relaxation
+    (geodesic_scan.relax_to_fixpoint_packed — half the full-plane ops
+    per sweep). Empty = unknown, (dist, label) pair form.
     """
     h, w = image.shape
     from cadx_tpu.ops.components import _use_pallas
@@ -65,10 +74,17 @@ def marker_watershed(image: jax.Array, markers: jax.Array,
         from cadx_tpu.kernels.watershed_kernel import marker_watershed_pallas
 
         labels, boundary = marker_watershed_pallas(
-            image[None], markers[None], max_iters, max_scan)
+            image[None], markers[None], max_iters, max_scan,
+            marker_label_values=marker_label_values)
         return labels[0], boundary[0]
 
     img = image.astype(jnp.float32)
-    labels = G.relax_to_fixpoint(_shift, img, markers.astype(jnp.int32),
-                                 max_iters, max_scan)
+    if marker_label_values and G.use_packed((h, w),
+                                            len(marker_label_values)):
+        labels = G.relax_to_fixpoint_packed(
+            _shift, img, markers.astype(jnp.int32), max_iters, max_scan,
+            label_values=marker_label_values)
+    else:
+        labels = G.relax_to_fixpoint(_shift, img, markers.astype(jnp.int32),
+                                     max_iters, max_scan)
     return labels, G.label_boundary(_shift, labels) == 1

@@ -200,7 +200,8 @@ def remove_pectoral(img: jax.Array, breast_mask: jax.Array,
     # is ~2*n_morph_op*kn wide, so capped scan windows converge in the
     # same few sweeps at ~25% less roll work; the fixpoint (and thus the
     # result) is exact regardless of the cap (ops/watershed.py)
-    labels, boundary = marker_watershed(img_equ, markers, max_scan=32)
+    labels, boundary = marker_watershed(img_equ, markers, max_scan=32,
+                                        marker_label_values=(255, 128, 64))
 
     breast_only = jnp.where(boundary, 0, labels)
     breast_only_mask = jnp.where(breast_only == 128, jnp.uint8(255), jnp.uint8(0))
