@@ -56,8 +56,11 @@ def cumsum_i32(x, axis: int):
     return x
 
 
-def _doubling_cummin(p, axis: int, reverse: bool, fill):
-    n = p.shape[axis]
+def _doubling_cummin(p, axis: int, reverse: bool, fill, cap: int = 0):
+    """Doubling cummin; `cap` bounds the window (0 = full axis). A cap
+    only bounds how far a label travels per scan — the relaxation
+    fixpoint is unchanged (same argument as the watershed's max_scan)."""
+    n = min(p.shape[axis], cap) if cap else p.shape[axis]
     shift = 1
     while shift < n:
         p = (_shifted_min_rev if reverse else _shifted_min)(p, shift, axis, fill)
@@ -66,7 +69,8 @@ def _doubling_cummin(p, axis: int, reverse: bool, fill):
 
 
 def ccl_relax(mask, row_seg, col_seg, *, lbl_bits: int,
-              connectivity: int, max_iters: int, nb_rounds: int = 1):
+              connectivity: int, max_iters: int, nb_rounds: int = 1,
+              scan_cap: int = 0):
     """In-kernel CCL to the fixpoint: (h, w) bool mask + barrier segment
     ids -> int32 labels (component-min linear index; background holds
     the (1<<lbl_bits)-1 sentinel). Shared by the standalone CCL kernel
@@ -94,14 +98,14 @@ def ccl_relax(mask, row_seg, col_seg, *, lbl_bits: int,
 
     def sweep(vals):
         p = ((max_row_seg - row_seg) << lbl_bits) | vals
-        f = _doubling_cummin(p, 1, False, big) & lbl_mask
+        f = _doubling_cummin(p, 1, False, big, scan_cap) & lbl_mask
         p = (row_seg << lbl_bits) | vals
-        b = _doubling_cummin(p, 1, True, big) & lbl_mask
+        b = _doubling_cummin(p, 1, True, big, scan_cap) & lbl_mask
         vals = jnp.where(mask, jnp.minimum(f, b), lbl_mask)
         p = ((max_col_seg - col_seg) << lbl_bits) | vals
-        f = _doubling_cummin(p, 0, False, big) & lbl_mask
+        f = _doubling_cummin(p, 0, False, big, scan_cap) & lbl_mask
         p = (col_seg << lbl_bits) | vals
-        b = _doubling_cummin(p, 0, True, big) & lbl_mask
+        b = _doubling_cummin(p, 0, True, big, scan_cap) & lbl_mask
         vals = jnp.where(mask, jnp.minimum(f, b), lbl_mask)
         if connectivity == 8:
             def nb_round(_, v):

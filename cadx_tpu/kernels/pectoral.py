@@ -52,9 +52,13 @@ def _pectoral_kernel(equ_ref, bin_ref, breast_ref, labels_ref, boundary_ref,
     rs, cs = _segs(m)
     # nb_rounds=8: the high-threshold mask is speckle-heavy and its
     # diagonal chains are round-bound (median 13 sweeps at 1 round,
-    # 3-5 at 8; 8.8 -> 5.0 ms/96-batch measured) — see ccl.ccl_relax
+    # 3-5 at 8; 8.8 -> 5.0 ms/96-batch measured) — see ccl.ccl_relax.
+    # scan_cap=32: speckle segments are short, so capped line scans
+    # reach the same fixpoint in the same sweeps at ~40% less scan work
+    # (r5 on-chip A/B: 5.06 -> 4.32 ms/96 standalone, bit-identical
+    # across nb_rounds x cap grid; _scratch/ccl_ab.py)
     labels0 = ccl_relax(m, rs, cs, lbl_bits=lbl_bits, connectivity=8,
-                        max_iters=max_iters, nb_rounds=8)
+                        max_iters=max_iters, nb_rounds=8, scan_cap=32)
     pect = largest_mask_from_labels(labels0, m)
     pect = _fill_holes(pect, max_iters)
 
