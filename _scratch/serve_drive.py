@@ -70,6 +70,8 @@ def main():
          rng.integers(0, 4096, (512, 512), dtype=np.uint16)),
         ("jpeg_ls", _dicom.TS_JPEG_LS,
          rng.integers(0, 4096, (512, 512), dtype=np.uint16)),
+        ("htj2k", _dicom.TS_HTJ2K_LOSSLESS,
+         rng.integers(0, 4096, (512, 512), dtype=np.uint16)),
     ]
     for name, ts, img in cases:
         with tempfile.NamedTemporaryFile(suffix=".dcm") as f:
