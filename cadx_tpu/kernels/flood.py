@@ -43,24 +43,35 @@ def _doubling_cummax(p, axis: int, reverse: bool):
 
 
 def flood_relax(mask, seed, row_seg, col_seg, *, max_iters: int,
-                connectivity: int = 4):
+                connectivity: int = 4, enabled=None):
     """In-kernel flood to the fixpoint: i32 (h, w) mask/seed (0/1) +
     barrier segment ids -> i32 reach. 4-connected by default (cv2
     floodFill semantics, used for hole filling); connectivity=8 adds a
     3x3 neighbourhood pass per sweep (matching 8-connected CCL, used by
     the density-probe largest-component fast path). Shared by the
-    standalone flood kernel and the fused largest-object kernels."""
+    standalone flood kernel and the fused largest-object kernels.
+
+    `enabled` (traced bool scalar, default on): folded into the
+    while_loop condition so a False value runs ZERO sweeps and returns
+    the seed unchanged. This is how callers skip the flood behind a
+    runtime proof — Mosaic rejects a lax.while_loop nested inside
+    lax.cond (verified on-chip r5), so the skip must live in the loop
+    condition itself."""
     h, w = mask.shape
     max_row_seg = np.int32(w + 1)
     max_col_seg = np.int32(h + 1)
+    # packed segment planes are sweep-invariant; hoist them out of the
+    # while_loop body (4 shift/sub full-plane ops saved per sweep)
+    rf, rb = row_seg << 1, (max_row_seg - row_seg) << 1
+    cf, cb = col_seg << 1, (max_col_seg - col_seg) << 1
 
     def sweep(reach):
         bit = reach & mask
-        f = _doubling_cummax((row_seg << 1) | bit, 1, False)
-        b = _doubling_cummax(((max_row_seg - row_seg) << 1) | bit, 1, True)
+        f = _doubling_cummax(rf | bit, 1, False)
+        b = _doubling_cummax(rb | bit, 1, True)
         bit = ((f & 1) | (b & 1)) & mask
-        f = _doubling_cummax((col_seg << 1) | bit, 0, False)
-        b = _doubling_cummax(((max_col_seg - col_seg) << 1) | bit, 0, True)
+        f = _doubling_cummax(cf | bit, 0, False)
+        b = _doubling_cummax(cb | bit, 0, True)
         bit = ((f & 1) | (b & 1)) & mask
         if connectivity == 8:
             nb = _shifted_max(bit, 1, 0, 0)
@@ -80,7 +91,8 @@ def flood_relax(mask, seed, row_seg, col_seg, *, max_iters: int,
         return new, jnp.any(new != reach), it + 1
 
     init = seed & mask
-    reach, _, _ = lax.while_loop(cond, body, (init, jnp.bool_(True), 0))
+    first = jnp.bool_(True) if enabled is None else enabled
+    reach, _, _ = lax.while_loop(cond, body, (init, first, 0))
     return reach
 
 

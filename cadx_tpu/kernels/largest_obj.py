@@ -162,16 +162,43 @@ def largest_component_mask(mask_bool, rs, cs, *, lbl_bits: int,
     return out == 1
 
 
+def single_run_certificate(mask_bool):
+    """No-holes proof: a hole pixel must have mask pixels strictly left
+    AND right in its row (otherwise it walks along the row to the
+    border through background), so if every row of the mask is a single
+    run the mask has no holes; columns symmetrically. Cheap (one shift +
+    one reduce per axis) and fires on the big smooth blobs (breast mask
+    at the suppress site: 8/8 on bench data) where the flood is pure
+    waste; ragged masks (pectoral wedge, raw threshold speckle) fall
+    through to the flood."""
+    m = mask_bool.astype(jnp.int32)
+    row_starts = m & (1 - _shift_back(m, 1, 1, 0))
+    col_starts = m & (1 - _shift_back(m, 1, 0, 0))
+    rows_ok = jnp.max(jnp.sum(row_starts, axis=1, keepdims=True)) <= 1
+    cols_ok = jnp.max(jnp.sum(col_starts, axis=0, keepdims=True)) <= 1
+    return rows_ok | cols_ok
+
+
 def _fill_holes(mask_bool, max_iters: int):
-    """Border-flood the complement; unreached background = holes."""
+    """Border-flood the complement; unreached background = holes.
+
+    The single-run certificate (above) is folded into the flood's
+    while_loop condition: when it proves the mask hole-free, ZERO
+    sweeps run and the hole set is masked off, so the result is
+    bit-identical with only the certificate's two shift+reduce passes
+    paid. NOT a lax.cond — Mosaic rejects a while_loop nested inside
+    cond (on-chip r5); the skip must live in the loop condition."""
     h, w = mask_bool.shape
+    cert = single_run_certificate(mask_bool)
     inv = (~mask_bool).astype(jnp.int32)
     r = lax.broadcasted_iota(jnp.int32, (h, w), 0)
     c = lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    border = ((r == 0) | (r == h - 1) | (c == 0) | (c == w - 1)).astype(jnp.int32)
+    border = ((r == 0) | (r == h - 1) | (c == 0)
+              | (c == w - 1)).astype(jnp.int32)
     rs, cs = _segs(inv == 1)
-    reach = flood_relax(inv, border & inv, rs, cs, max_iters=max_iters)
-    holes = (inv == 1) & (reach == 0)
+    reach = flood_relax(inv, border & inv, rs, cs, max_iters=max_iters,
+                        enabled=jnp.logical_not(cert))
+    holes = (inv == 1) & (reach == 0) & jnp.logical_not(cert)
     return mask_bool | holes
 
 

@@ -100,10 +100,16 @@ def pectoral_tail_pallas(img_equ: jax.Array, img_bin: jax.Array,
                          breast_mask: jax.Array, morph_k: int = 3,
                          n_morph: int = 7, sm_k: int = 25,
                          max_iters: int = 128, ws_max_iters: int = 256,
-                         max_scan: int = 32, interpret: bool = False):
+                         max_scan: int = 8, interpret: bool = False):
     """Batched: (B,H,W) equalized image + high-threshold mask + breast
     mask -> (labels, boundary bool, opened breast-only mask bool).
-    H, W must be powers of two (bitonic mode phase)."""
+    H, W must be powers of two (bitonic mode phase).
+
+    max_scan=8: the watershed's unlabeled band between the marker bands
+    is narrow, and capped scan windows reach the SAME exact fixpoint
+    (ops/geodesic_scan.scan_min_carry) — r5 on-chip A/B over the scan
+    8/16/32/64 grid was bit-identical with 8 fastest (8.22 vs 8.76
+    ms/96 standalone, _scratch/pectoral_ab.py)."""
     b, h, w = img_equ.shape
     if (h & (h - 1)) or (w & (w - 1)):
         raise ValueError(f"fused kernel needs power-of-two dims, got {h}x{w}")

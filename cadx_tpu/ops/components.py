@@ -259,14 +259,18 @@ def flood_from(mask: jax.Array, seed: jax.Array, max_iters: int = 128) -> jax.Ar
     max_row_seg = np.int32(w + 1)
     max_col_seg = np.int32(h + 1)
 
+    # packed segment planes are sweep-invariant; hoisted out of the loop
+    rf, rb = row_seg << 1, (max_row_seg - row_seg) << 1
+    cf, cb = col_seg << 1, (max_col_seg - col_seg) << 1
+
     def sweep(reach):
         bit = (reach & mask).astype(jnp.int32)
         # forward cummax: earlier segments have smaller high bits -> lose
-        f = lax.cummax((row_seg << 1) | bit, axis=1)
-        b = lax.cummax(((max_row_seg - row_seg) << 1) | bit, axis=1, reverse=True)
+        f = lax.cummax(rf | bit, axis=1)
+        b = lax.cummax(rb | bit, axis=1, reverse=True)
         bit = ((f & 1) | (b & 1)) & mask.astype(jnp.int32)
-        f = lax.cummax((col_seg << 1) | bit, axis=0)
-        b = lax.cummax(((max_col_seg - col_seg) << 1) | bit, axis=0, reverse=True)
+        f = lax.cummax(cf | bit, axis=0)
+        b = lax.cummax(cb | bit, axis=0, reverse=True)
         return (((f & 1) | (b & 1)) == 1) & mask
 
     def cond(state):
@@ -294,10 +298,25 @@ def fill_holes(mask: jax.Array, max_iters: int = 128) -> jax.Array:
     inverse pixels are holes and get filled.
     """
     mask = mask.astype(bool)
-    inv = ~mask
     h, w = mask.shape
-    border = jnp.zeros((h, w), bool).at[0, :].set(True).at[-1, :].set(True)
-    border = border.at[:, 0].set(True).at[:, -1].set(True)
-    reaches_border = flood_from(inv, border & inv, max_iters)
-    holes = inv & ~reaches_border
-    return mask | holes
+
+    # No-holes certificate: a hole pixel needs mask strictly left AND
+    # right in its row (else it walks along the row to the border), so
+    # single-run rows — or columns — prove hole-freeness and the flood
+    # is skipped (XLA cond runs only the taken branch). Mirrors
+    # kernels/largest_obj.single_run_certificate; results identical.
+    m = mask.astype(jnp.int32)
+    left = jnp.pad(m[:, :-1], ((0, 0), (1, 0)))
+    up = jnp.pad(m[:-1, :], ((1, 0), (0, 0)))
+    rows_ok = jnp.max(jnp.sum(m & (1 - left), axis=1)) <= 1
+    cols_ok = jnp.max(jnp.sum(m & (1 - up), axis=0)) <= 1
+
+    def flood(mb):
+        inv = ~mb
+        border = jnp.zeros((h, w), bool).at[0, :].set(True).at[-1, :].set(True)
+        border = border.at[:, 0].set(True).at[:, -1].set(True)
+        reaches_border = flood_from(inv, border & inv, max_iters)
+        holes = inv & ~reaches_border
+        return mb | holes
+
+    return lax.cond(rows_ok | cols_ok, lambda mb: mb, flood, mask)

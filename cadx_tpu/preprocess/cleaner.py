@@ -196,11 +196,12 @@ def remove_pectoral(img: jax.Array, breast_mask: jax.Array,
     markers = jnp.where(pect_dilated == 0, 128, markers)
     markers = jnp.where(breast_mask == 0, 64, markers)
 
-    # max_scan=32: the unlabeled band between the eroded/dilated markers
+    # max_scan=8: the unlabeled band between the eroded/dilated markers
     # is ~2*n_morph_op*kn wide, so capped scan windows converge in the
-    # same few sweeps at ~25% less roll work; the fixpoint (and thus the
-    # result) is exact regardless of the cap (ops/watershed.py)
-    labels, boundary = marker_watershed(img_equ, markers, max_scan=32,
+    # same few sweeps at less roll work; the fixpoint (and thus the
+    # result) is exact regardless of the cap (ops/watershed.py). r5
+    # on-chip A/B over the 8/16/32/64 grid: bit-identical, 8 fastest.
+    labels, boundary = marker_watershed(img_equ, markers, max_scan=8,
                                         marker_label_values=(255, 128, 64))
 
     breast_only = jnp.where(boundary, 0, labels)

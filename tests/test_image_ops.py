@@ -157,6 +157,51 @@ def test_fill_holes(rng):
     np.testing.assert_array_equal(filled, ref)
 
 
+def _fill_holes_cv2(img):
+    """The reference's floodFill-from-background trick as oracle."""
+    ff = img.copy()
+    mask = np.zeros((img.shape[0] + 2, img.shape[1] + 2), np.uint8)
+    bkg = np.where(img == 0)
+    if len(bkg[0]) == 0:
+        return img > 0
+    cv2.floodFill(ff, mask, (int(bkg[1][0]), int(bkg[0][0])), 255)
+    return (img + cv2.bitwise_not(ff)) > 0
+
+
+def test_fill_holes_certificate_property(rng):
+    """fill_holes carries a single-run no-holes certificate that skips
+    the flood (ops/components.py); this sweeps mask families on both
+    sides of the certificate — smooth single-run blobs (fires), ragged
+    multi-run blobs with and without holes (falls through) — against
+    the cv2 oracle. The floodFill seed must be border-reachable for the
+    oracle to be the hole-fill trick, so masks keep a clear border."""
+    # cert-firing family: single convex-ish blob (single run per row)
+    for _ in range(8):
+        img = np.zeros((48, 48), np.uint8)
+        cy, cx = rng.integers(16, 32, 2)
+        cv2.ellipse(img, (int(cx), int(cy)),
+                    (int(rng.integers(6, 13)), int(rng.integers(6, 13))),
+                    0, 0, 360, 255, -1)
+        got = np.asarray(components.fill_holes(jnp.asarray(img > 0)))
+        np.testing.assert_array_equal(got, _fill_holes_cv2(img))
+    # multi-run family with holes: random blobs + punched holes
+    for _ in range(8):
+        img = _blob_mask(rng, (48, 48), n_blobs=5)
+        img[1:3, :] = 0  # keep border-adjacent background connected
+        for _ in range(3):
+            hy, hx = rng.integers(10, 38, 2)
+            cv2.circle(img, (int(hx), int(hy)), 2, 0, -1)
+        got = np.asarray(components.fill_holes(jnp.asarray(img > 0)))
+        np.testing.assert_array_equal(got, _fill_holes_cv2(img))
+    # adversarial: single-run COLUMNS, multi-run rows, concave no-hole
+    img = np.zeros((32, 32), np.uint8)
+    img[8:24, 8:12] = 255
+    img[8:24, 20:24] = 255
+    img[8:12, 8:24] = 255  # "U" open at the bottom: no hole
+    got = np.asarray(components.fill_holes(jnp.asarray(img > 0)))
+    np.testing.assert_array_equal(got, _fill_holes_cv2(img))
+
+
 def test_watershed_agrees_with_cv2_iou():
     """Pectoral-removal-style markers: most pixels pre-labeled, watershed
     refines the unlabeled band along a sharp intensity edge. (Symmetric
