@@ -133,7 +133,14 @@ def test_fused_largest_obj_matches_composition(masks, rng):
     ring |= np.abs(((yy - 64) ** 2 + (xx - 64) ** 2) ** 0.5 - 30) < 5
     blob = ((yy - 64) ** 2 + (xx - 120) ** 2) < 3000
     blob[40:50, 100:110] = False  # a hole
-    cases = [np.asarray(masks[0]), ring, blob, np.zeros((hw, hw), bool)]
+    # cert-firing (single-run rows) ellipse and an adversarial "U"
+    # (single-run columns, multi-run rows, concave but hole-free):
+    # the fill phase's no-holes certificate must not change results
+    ellipse = ((yy - 64) / 40.0) ** 2 + ((xx - 60) / 28.0) ** 2 <= 1
+    ushape = np.zeros((hw, hw), bool)
+    ushape[30:90, 30:42] = ushape[30:90, 80:92] = ushape[30:42, 30:92] = True
+    cases = [np.asarray(masks[0]), ring, blob, ellipse, ushape,
+             np.zeros((hw, hw), bool)]
     for m in cases:
         mj = jnp.asarray(m)
         largest = C.largest_component(mj, 8)
