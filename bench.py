@@ -270,8 +270,12 @@ def _measure() -> dict:
     from cadx_tpu.preprocess import cleaner
 
     hw = 256
-    batch = 96  # sweet spot: 96 beats 128 by ~9% (HBM working set of the
-    #             u8 overlay outputs grows with batch)
+    batch = 384  # r5 re-sweep (_scratch/batch_sweep.py, on-chip): after the
+    #   r3-r5 kernel work the per-pass compute dropped ~2.4x and the ~3.3ms
+    #   per-dispatch tunnel floor became ~20% of a 96-batch pass, moving the
+    #   optimum up: 64->5330, 96->5970, 128->5938, 192->5928, 256->6135,
+    #   384->6311, 512->6303 img/s (perf_history/batch_sweep_r5.json).
+    #   The old r2 note ("96 beats 128 by ~9%") measured a 40ms/96 pass.
     config = fused.PipelineConfig(
         image_hw=(hw, hw),
         feature_hw=(32, 32),
